@@ -1,0 +1,259 @@
+"""HTML handling: encoding sniff, DOM, XPath subset, metadata & text.
+
+This is the engine's stand-in for the reference's two external services:
+
+- Tika ``/meta`` + ``/tika`` (reference: ftw/crawler/tika.py:23-59) —
+  replaced by :func:`extract_metadata` / :func:`html_to_text` running
+  in-process over the ``html`` binary column (no HTTP crossing; the
+  functions are applied per Arrow batch inside pandas UDFs).
+- lxml+BeautifulSoup in XPathExtractor (reference:
+  ftw/crawler/extractors.py:231-285) — replaced by a stdlib
+  ``html.parser`` DOM plus a small XPath-subset evaluator covering the
+  pattern family the reference's configs use (``//tag[@attr='v']/child``).
+
+Encoding sniffing mirrors UnicodeDammit over the reference's proposed
+list ['utf-8', 'latin1'] (extractors.py:236-242): strict utf-8 first,
+latin-1 as the fallback that always succeeds.
+
+The ``html_to_text`` output contract is this engine's deterministic
+"Tika text" specification: block-level elements emit newline
+separators, scripts/styles/comments are dropped, character data is
+preserved verbatim. The synthetic page store (sources/synth.py) defines
+its ``text`` column as exactly ``html_to_text(html)``, so byte-identity
+of extraction is testable end-to-end.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+MARKUP_TYPES = ("application/xml", "application/xhtml+xml", "text/xml",
+                "text/html")  # reference: ftw/crawler/xml_utils/__init__.py:5-7
+
+VOID_ELEMENTS = frozenset((
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+))
+
+BLOCK_ELEMENTS = frozenset((
+    "title", "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul",
+    "ol", "table", "tr", "td", "th", "blockquote", "pre", "section",
+    "article", "header", "footer", "nav", "aside", "main", "figure",
+    "figcaption", "address", "dt", "dd", "dl", "form", "fieldset",
+    "hr", "br", "body", "head", "html",
+))
+
+SKIP_ELEMENTS = frozenset(("script", "style"))
+
+
+class Node:
+    """Minimal DOM node: tag, attrs dict, children (Node or str)."""
+
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs=None, parent=None):
+        self.tag = tag
+        self.attrs = dict(attrs or {})
+        self.children: list = []
+        self.parent = parent
+
+    def iter(self):
+        yield self
+        for child in self.children:
+            if isinstance(child, Node):
+                yield from child.iter()
+
+    def text_content(self) -> str:
+        """All descendant character data concatenated in document order
+        (lxml ``text_content()`` analog — extractors.py:273)."""
+        parts: list[str] = []
+        self._collect_text(parts)
+        return "".join(parts)
+
+    def _collect_text(self, parts: list[str]) -> None:
+        if self.tag in SKIP_ELEMENTS:
+            return
+        for child in self.children:
+            if isinstance(child, Node):
+                child._collect_text(parts)
+            else:
+                parts.append(child)
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#document")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        # namespace strip analog (reference XSLT remove_namespaces,
+        # xml_utils/__init__.py:10-19): drop any prefix
+        tag = tag.rsplit(":", 1)[-1]
+        node = Node(tag, attrs, parent=self.stack[-1])
+        self.stack[-1].children.append(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        tag = tag.rsplit(":", 1)[-1]
+        node = Node(tag, attrs, parent=self.stack[-1])
+        self.stack[-1].children.append(node)
+
+    def handle_endtag(self, tag):
+        tag = tag.rsplit(":", 1)[-1]
+        # pop to nearest matching open tag (lenient, HTMLParser-style)
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                break
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def sniff_encoding(data: bytes) -> str:
+    """UnicodeDammit-over-['utf-8','latin1'] analog: strict utf-8 first,
+    latin-1 fallback (extractors.py:236-242)."""
+    try:
+        data.decode("utf-8")
+        return "utf-8"
+    except (UnicodeDecodeError, AttributeError):
+        return "latin-1"
+
+
+def parse_html(data: bytes | str) -> Node:
+    if isinstance(data, bytes):
+        data = data.decode(sniff_encoding(data))
+    builder = _TreeBuilder()
+    builder.feed(data)
+    builder.close()
+    return builder.root
+
+
+# ---------------------------------------------------------------------------
+# XPath subset
+# ---------------------------------------------------------------------------
+
+
+def xpath_first(root: Node, xpath: str) -> Node | None:
+    """Evaluate the XPath subset ``//tag[@attr='value']/child[...]...``
+    (descendant-or-self start, child steps, optional single attribute
+    predicate per step) and return the FIRST match in document order —
+    the reference warns + takes the first on multiple matches
+    (extractors.py:266-272).
+    """
+    matches = xpath_all(root, xpath)
+    return matches[0] if matches else None
+
+
+def xpath_all(root: Node, xpath: str) -> list[Node]:
+    if not xpath.startswith("//"):
+        raise ValueError(f"unsupported xpath (must start with //): {xpath}")
+    steps = xpath[2:].split("/")
+    parsed = [_parse_step(s) for s in steps if s]
+
+    # first step: descendant-or-self
+    tag0, pred0 = parsed[0]
+    current = [n for n in root.iter()
+               if n.tag == tag0 and _match_pred(n, pred0)]
+    for tag, pred in parsed[1:]:
+        nxt = []
+        for node in current:
+            for child in node.children:
+                if isinstance(child, Node) and child.tag == tag \
+                        and _match_pred(child, pred):
+                    nxt.append(child)
+        current = nxt
+    return current
+
+
+def _parse_step(step: str):
+    if "[" in step:
+        tag, _, rest = step.partition("[")
+        pred = rest.rstrip("]")
+        if not (pred.startswith("@") and "=" in pred):
+            raise ValueError(f"unsupported xpath predicate: [{pred}]")
+        attr, _, val = pred[1:].partition("=")
+        return tag, (attr.strip(), val.strip().strip("'\""))
+    return step, None
+
+
+def _match_pred(node: Node, pred) -> bool:
+    if pred is None:
+        return True
+    attr, val = pred
+    return node.attrs.get(attr) == val
+
+
+# ---------------------------------------------------------------------------
+# Tika-analog metadata + text
+# ---------------------------------------------------------------------------
+
+
+def extract_metadata(html_bytes: bytes | None,
+                     content_type: str | None) -> dict:
+    """HTML ``<meta name= content=>`` tags + ``<title>`` as a raw
+    metadata dict — this engine's Tika ``/meta`` analog for markup
+    (reference: tika.py:23-46). Keys are the verbatim ``name``
+    attributes (so 'DC.title', 'author', … survive for the
+    SimpleMetadata canonicalization in scalars.canonicalize_metadata).
+    Non-markup content types yield an empty dict.
+    """
+    if html_bytes is None or content_type not in MARKUP_TYPES:
+        return {}
+    root = parse_html(html_bytes)
+    meta: dict[str, str] = {}
+    title_node = xpath_first(root, "//title")
+    if title_node is not None:
+        meta["title"] = title_node.text_content()
+    for node in root.iter():
+        if node.tag == "meta":
+            name = node.attrs.get("name")
+            content = node.attrs.get("content")
+            if name and content is not None:
+                meta[name] = content
+    return meta
+
+
+def html_to_text(html_bytes: bytes | None,
+                 content_type: str | None) -> str:
+    """Deterministic plain-text rendering of markup — this engine's Tika
+    ``/tika`` (text/plain) analog (reference: tika.py:48-59).
+
+    Contract: character data verbatim, in document order;
+    scripts/styles dropped; a single ``\\n`` separator emitted at each
+    block-element boundary (collapsing runs); leading/trailing
+    whitespace of the whole document stripped. The synthetic page
+    store's ``text`` column is defined as this function's output, which
+    makes "byte-identical extracted text per url" a real end-to-end
+    assertion rather than a tautology on stored data.
+    """
+    if html_bytes is None:
+        return ""
+    if content_type is not None and content_type not in MARKUP_TYPES:
+        # non-markup: bytes are already plain text (Tika passthrough)
+        return html_bytes.decode(sniff_encoding(html_bytes))
+    root = parse_html(html_bytes)
+    parts: list[str] = []
+    _render(root, parts)
+    text = "".join(parts)
+    # collapse newline runs introduced at block boundaries
+    lines = [seg for seg in (s.strip() for s in text.split("\n")) if seg]
+    return "\n".join(lines)
+
+
+def _render(node: Node, parts: list[str]) -> None:
+    if node.tag in SKIP_ELEMENTS:
+        return
+    is_block = node.tag in BLOCK_ELEMENTS
+    if is_block:
+        parts.append("\n")
+    for child in node.children:
+        if isinstance(child, Node):
+            _render(child, parts)
+        else:
+            parts.append(child)
+    if is_block:
+        parts.append("\n")
