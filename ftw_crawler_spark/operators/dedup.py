@@ -1,0 +1,271 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference crawler's implicit dedup (upsert-by-UID), a
+100 TB corpus pipeline needs content-level dedup. All hot paths are
+built-in Column expressions (whole-stage codegen — no Python); the
+cross-engine-checkable variants use a 60-bit md5-prefix hash
+(``conv(substr(md5(s),1,15),16,10)``) that DuckDB reproduces exactly
+(``('0x'||substr(md5(s),1,15))::BIGINT``) so every operator has an
+ANSI-SQL oracle.
+
+Scale notes per operator:
+- exact: one shuffle on the content hash (map-side partial agg).
+- minhash-LSH: signatures are per-row expressions (no shuffle); the
+  band join shuffles on (band_idx, band_hash) — bucket sizes are
+  bounded by collision probability, and the candidate verify is a
+  narrow pair join. A production path can swap the md5 perm hash for
+  ``xxhash64(shingle, i)`` (cheaper, Spark-only) via ``use_md5=False``.
+- n-gram Jaccard: inverted-index self-join on shingle hash; add a
+  document-frequency cutoff (``max_df``) at scale to drop
+  stop-shingles that would quadratically blow up a bucket.
+- SimHash: per-row fingerprint (explode-free: aggregate over the token
+  array), near-dup pairs by banded Hamming join.
+- embedding cosine: see operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+P_SHINGLE_WIDTH = 3
+DEFAULT_N_PERM = 16
+DEFAULT_BANDS = 4
+
+
+def md5_long(col: Column) -> Column:
+    """60-bit positive hash identical across Spark/DuckDB/Python."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """Whitespace tokens, empty strings dropped — identical semantics to
+    DuckDB ``list_filter(string_split_regex(text,'\\s+'), x -> x <> '')``."""
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+
+
+def shingles_col(tokens: Column, w: int = P_SHINGLE_WIDTH) -> Column:
+    """w-word shingles joined by single spaces; empty array when fewer
+    than w tokens (guarded — Spark's sequence(1,0) would descend)."""
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), n - (w - 1))
+    mk = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(tokens, i + j) for j in range(w)]))
+    return F.when(n >= w, mk).otherwise(
+        F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact duplicates: one row per duplicated content
+    (group size > 1) with the representative (min id). One shuffle,
+    map-side combine."""
+    return (docs
+            .select(F.md5(F.col(text_col)).alias("content_hash"),
+                    F.col(id_col))
+            .groupBy("content_hash")
+            .agg(F.count(F.lit(1)).alias("group_size"),
+                 F.min(id_col).alias("rep_doc_id"))
+            .filter(F.col("group_size") > 1))
+
+
+def drop_exact_dups(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each content group."""
+    w_rep = (docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+             .agg(F.min(id_col).alias("rep_doc_id")))
+    return (docs.join(w_rep,
+                      (F.md5(F.col(text_col))
+                       == w_rep["content_hash"])
+                      & (F.col(id_col) == w_rep["rep_doc_id"]),
+                      "left_semi"))
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_sig_cols(shingles: Column, n_perm: int = DEFAULT_N_PERM,
+                     use_md5: bool = True) -> list:
+    """n_perm minhash values. use_md5=True → salted md5-prefix hash
+    (cross-engine exact, the oracle path); False → xxhash64(shingle, i)
+    (JVM-cheap production path, Spark-only)."""
+    sigs = []
+    for i in range(n_perm):
+        if use_md5:
+            h = F.transform(
+                shingles,
+                lambda s, i=i: md5_long(F.concat(F.lit(f"{i}:"), s)))
+        else:
+            h = F.transform(shingles,
+                            lambda s, i=i: F.xxhash64(s, F.lit(i)))
+        sigs.append(F.array_min(h).alias(f"mh_{i}"))
+    return sigs
+
+
+def minhash_bands(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  n_perm: int = DEFAULT_N_PERM,
+                  bands: int = DEFAULT_BANDS,
+                  use_md5: bool = True) -> DataFrame:
+    """(id, band_idx, band_hash): md5 of the ':'-joined signature slice
+    per band. Docs with no shingles (< w tokens) are excluded (their
+    signature is undefined — min of empty)."""
+    r = n_perm // bands
+    toks = tokens_col(text_col)
+    sh = F.array_distinct(shingles_col(toks))
+    base = (docs.select(F.col(id_col), sh.alias("shingles"))
+            .filter(F.size("shingles") > 0))
+    sig = base.select(id_col, *minhash_sig_cols(F.col("shingles"),
+                                                n_perm, use_md5))
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * r + j}").cast("string")
+                 for j in range(r)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"),
+                     F.md5(F.concat_ws(":", *parts)).alias("band_hash")))
+    return (sig.select(id_col, F.explode(F.array(*band_cols))
+                       .alias("band"))
+            .select(id_col, F.col("band.band_idx").alias("band_idx"),
+                    F.col("band.band_hash").alias("band_hash")))
+
+
+def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            n_perm: int = DEFAULT_N_PERM,
+                            bands: int = DEFAULT_BANDS,
+                            use_md5: bool = True) -> DataFrame:
+    """LSH candidates: distinct (a < b) pairs sharing ≥1 band bucket.
+    Shuffle key = (band_idx, band_hash)."""
+    bands_df = minhash_bands(docs, text_col, id_col, n_perm, bands,
+                             use_md5)
+    a = bands_df.select(F.col(id_col).alias("a"), "band_idx",
+                        "band_hash")
+    b = bands_df.select(F.col(id_col).alias("b"), "band_idx",
+                        "band_hash")
+    return (a.join(b, ["band_idx", "band_hash"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        threshold: float = 0.6,
+                        max_df: int | None = None) -> DataFrame:
+    """Exact Jaccard over distinct w-shingle hash sets, candidate pairs
+    from the inverted shingle index. ``max_df`` drops shingles present
+    in more than max_df docs (stop-shingle guard — REQUIRED at scale,
+    optional at test scale for oracle parity)."""
+    toks = tokens_col(text_col)
+    sh = F.array_distinct(shingles_col(toks))
+    exploded = (docs.select(F.col(id_col),
+                            F.explode(sh).alias("shingle"))
+                .select(id_col, md5_long(F.col("shingle")).alias("sh")))
+    if max_df is not None:
+        df_counts = exploded.groupBy("sh").agg(
+            F.count(F.lit(1)).alias("df"))
+        exploded = (exploded.join(
+            df_counts.filter(F.col("df") <= max_df), "sh", "left_semi"))
+    sizes = exploded.groupBy(id_col).agg(
+        F.countDistinct("sh").alias("n_sh"))
+    a = exploded.select(F.col(id_col).alias("a"), "sh").distinct()
+    b = exploded.select(F.col(id_col).alias("b"), "sh").distinct()
+    shared = (a.join(b, "sh").filter(F.col("a") < F.col("b"))
+              .groupBy("a", "b")
+              .agg(F.count(F.lit(1)).alias("shared")))
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
+    out = (shared.join(sa, "a").join(sb, "b")
+           .withColumn("jaccard",
+                       F.round(F.col("shared")
+                               / (F.col("na") + F.col("nb")
+                                  - F.col("shared")), 4))
+           .filter(F.col("jaccard") >= threshold)
+           .select("a", "b", "jaccard"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_col(tokens: Column, n_bits: int = 64) -> Column:
+    """64-bit SimHash as a '0'/'1' string (MSB first) — string form keeps
+    it sign-free and cross-engine comparable. Majority vote per bit over
+    the token hash multiset, computed with aggregate() over the token
+    array (no explode, no shuffle)."""
+    hashes = F.transform(tokens, md5_long)
+    zero = F.array_repeat(F.lit(0).cast("long"), n_bits)
+    counts = F.aggregate(
+        hashes, zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(F.sequence(F.lit(0), F.lit(n_bits - 1)),
+                        lambda i: F.when(
+                            F.shiftright(h, (F.lit(n_bits - 1) - i)
+                                         .cast("int"))
+                            .bitwiseAND(F.lit(1)) == 1,
+                            F.lit(1)).otherwise(F.lit(-1))),
+            lambda a, b: a + b))
+    return F.concat_ws(
+        "", F.transform(counts,
+                        lambda c: F.when(c > 0, F.lit("1"))
+                        .otherwise(F.lit("0"))))
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    toks = tokens_col(text_col)
+    return docs.select(F.col(id_col),
+                       simhash_col(toks).alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       bands: int = 4) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ max_hamming, candidates
+    from banded substring equality (pigeonhole: ≤3 differing bits over
+    4 bands ⇒ ≥1 band identical)."""
+    fp = simhash_fingerprints(docs, text_col, id_col)
+    width = 64 // bands
+    band_arr = F.array(*[
+        F.struct(F.lit(i).alias("band_idx"),
+                 F.substring("simhash", i * width + 1, width)
+                 .alias("band_val"))
+        for i in range(bands)])
+    banded = (fp.select(id_col, "simhash",
+                        F.explode(band_arr).alias("b"))
+              .select(id_col, "simhash",
+                      F.col("b.band_idx").alias("band_idx"),
+                      F.col("b.band_val").alias("band_val")))
+    a = banded.select(F.col(id_col).alias("a"),
+                      F.col("simhash").alias("sh_a"), "band_idx",
+                      "band_val")
+    b = banded.select(F.col(id_col).alias("b"),
+                      F.col("simhash").alias("sh_b"), "band_idx",
+                      "band_val")
+    cand = (a.join(b, ["band_idx", "band_val"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", "sh_a", "sh_b").distinct())
+    # hamming over the bit strings (zip chars)
+    ham = F.size(F.filter(
+        F.zip_with(F.split(F.col("sh_a"), ""),
+                   F.split(F.col("sh_b"), ""),
+                   lambda x, y: x != y),
+        lambda v: v))
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))

@@ -69,7 +69,7 @@ def md5_uuid_col(url_col: Column) -> Column:
 
 def _content_type_col() -> Column:
     # charset strip, utils.py:57-66 (split keeps token verbatim)
-    return F.split(F.col("headers").getItem("content-type"), ";").getItem(0)
+    return F.split(F.col("headers")["content-type"], ";").getItem(0)
 
 
 def _mapping_case(source: Column, mapping: dict, default) -> Column:
@@ -110,7 +110,7 @@ def _native_expr(field: cfg.Field, config: cfg.CrawlerConfig,
             return F.when(attr.isNotNull(), F.array(attr))
         return attr
     if isinstance(ex, cfg.HeaderMappingExtractor):
-        src = F.col("headers").getItem(ex.header_name.lower())
+        src = F.col("headers")[ex.header_name.lower()]
         if ex.header_name.lower() == "content-type":
             src = F.split(src, ";").getItem(0)
         return _mapping_case(src, ex.mapping, ex.default)

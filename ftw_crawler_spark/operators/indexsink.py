@@ -1,0 +1,105 @@
+"""The index sink: upsert-by-UID over partitioned parquet (M3, S8/S9).
+
+The reference POSTs each document to Solr (solr.py:29-50) and deletes
+purged UIDs (solr.py:74-77). The north-star sink is Iceberg
+``MERGE INTO index ON UID`` — in this sandbox (no Iceberg runtime) the
+same semantics are provided by the documented fallback (SURVEY.md §4.3):
+an append-only parquet log of document versions + tombstones, ordered
+by a monotone ``op_seq``, with upsert-by-UID resolved on read via a
+last-writer-wins window. Appends are per-batch (atomic directory
+writes under ``delta/batch=K``), so the sink is also the crawl's
+checkpoint log: a resumed run re-reads committed batches only.
+
+At scale: the read-side window shuffles on UID once; compaction
+(``compact()``) folds the log back into a single snapshot so the
+window cost is bounded by data written since the last compaction —
+the same pattern Iceberg's MOR (merge-on-read) uses.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class IndexSink:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.base_path = os.path.join(root, "base")
+        self.delta_root = os.path.join(root, "delta")
+
+    # -- write side ---------------------------------------------------------
+
+    def write_base(self, df: DataFrame) -> None:
+        """Initial snapshot (pre-existing index state)."""
+        (df.withColumn("op_seq", F.lit(-2).cast("long"))
+           .withColumn("is_delete", F.lit(False))
+           .write.mode("overwrite").parquet(self.base_path))
+
+    def append_upserts(self, docs: DataFrame, batch_id: int) -> None:
+        """Docs must carry UID + op_seq (crawl_seq serves as op_seq —
+        later crawls of the same UID win, matching Solr's
+        last-write-wins upsert)."""
+        (docs.withColumn("is_delete", F.lit(False))
+             .write.mode("overwrite")
+             .parquet(os.path.join(self.delta_root, f"batch={batch_id}")))
+
+    def append_deletes(self, uids: DataFrame, batch_id: int) -> None:
+        """Tombstones (S9). ``uids``: (UID). op_seq below all crawl rows
+        of this run (crawl_seq >= 0) but above the base snapshot (-2) — purge runs before
+        crawling (main.py:102)."""
+        (uids.select("UID")
+             .withColumn("op_seq", F.lit(-1).cast("long"))
+             .withColumn("is_delete", F.lit(True))
+             .write.mode("overwrite")
+             .parquet(os.path.join(self.delta_root,
+                                   f"batch={batch_id}_deletes")))
+
+    # -- read side ----------------------------------------------------------
+
+    def _read_log(self) -> DataFrame | None:
+        parts = []
+        if self._exists(self.base_path):
+            parts.append(self.spark.read.parquet(self.base_path))
+        if os.path.isdir(self.delta_root):
+            for d in sorted(os.listdir(self.delta_root)):
+                p = os.path.join(self.delta_root, d)
+                if self._exists(p):
+                    parts.append(self.spark.read.parquet(p))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    def current(self) -> DataFrame | None:
+        """The MERGE-resolved view: last op per UID, tombstones dropped."""
+        log = self._read_log()
+        if log is None:
+            return None
+        w = Window.partitionBy("UID").orderBy(F.col("op_seq").desc())
+        return (log.withColumn("__rn", F.row_number().over(w))
+                .filter((F.col("__rn") == 1) & (~F.col("is_delete")))
+                .drop("__rn", "is_delete"))
+
+    def compact(self) -> None:
+        """Fold the log into a fresh base snapshot."""
+        cur = self.current()
+        if cur is None:
+            return
+        tmp = self.base_path + ".tmp"
+        (cur.withColumn("op_seq", F.lit(-2).cast("long"))
+            .withColumn("is_delete", F.lit(False))
+            .write.mode("overwrite").parquet(tmp))
+        import shutil
+        shutil.rmtree(self.base_path, ignore_errors=True)
+        shutil.rmtree(self.delta_root, ignore_errors=True)
+        os.rename(tmp, self.base_path)
+
+    @staticmethod
+    def _exists(path: str) -> bool:
+        return os.path.exists(os.path.join(path, "_SUCCESS"))

@@ -1,0 +1,308 @@
+"""The crawl micro-batch loop (M3-M5): the reference's ``bin/crawl``
+re-expressed as a sequence of DataFrame micro-batches.
+
+Reference lifecycle (main.py:69-162, SURVEY.md §3.1): per site —
+discover+parse sitemaps → scan index → purge removed docs → per URL:
+last-indexed lookup → is_modified / redirect / status gates → fetch →
+extract → upsert into Solr. Here each *crawl iteration* is one
+micro-batch over the whole (multi-site) frontier:
+
+1. frontier = sitemap discovery+expansion (cached — the reference
+   memoizes parsed sitemaps for reuse by purge + crawl,
+   sitemap.py:70-77,191-198);
+2. purge anti-join → tombstones (once per run, before crawling,
+   main.py:102);
+3. annotate frontier: last-indexed join against the PRE-RUN index
+   snapshot (the reference queries Solr once per site before its loop,
+   main.py:99 — this run's own upserts are invisible to is_modified),
+   fetch-status join, warc_ts join (column-pruned: html is NOT read
+   here), skip_reason classification (F4/F7/F8);
+4. loop: politeness-scheduled batch → page-store join (html/text read
+   only for admitted rows) → extraction projection → upsert append →
+   host-state update (429 doubling) → exact anti-join of processed
+   rows → per-batch checkpoint commit.
+
+Determinism: the schedule is a pure function of (frontier,
+host_state); crawl_seq is carried into the index (lineage) so the
+reference's global order is reconstructible; crawl_time is pinned in
+run_meta.json so resume is bit-stable (no wall-clock in the plan).
+
+Resume: checkpoints/batch=K holds remaining-frontier + host-state
+parquet and a commit marker written LAST — a crash between sink append
+and commit replays batch K idempotently (upsert-by-UID makes the
+replay a no-op).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ftw_crawler_spark import config as cfg
+from ftw_crawler_spark.operators import politeness, seen
+from ftw_crawler_spark.operators.extraction import extract_documents
+from ftw_crawler_spark.operators.incremental import (
+    is_modified_col, purge_candidates, with_last_indexed)
+from ftw_crawler_spark.operators.indexsink import IndexSink
+from ftw_crawler_spark.operators.sitemaps import build_frontier
+from ftw_crawler_spark.sources.synth import default_sites
+
+DEFAULT_CRAWL_TIME = datetime(2026, 1, 15, 12, 0, 0)
+
+
+@dataclass
+class CrawlResult:
+    out_dir: str
+    batches: int
+    metrics: list = field(default_factory=list)
+    sink: IndexSink | None = None
+
+    def index(self) -> DataFrame:
+        return self.sink.current()
+
+
+def sites_df(spark: SparkSession, sites: list) -> DataFrame:
+    schema = T.StructType([
+        T.StructField("site_id", T.IntegerType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("sleeptime", T.DoubleType()),
+        T.StructField("crawler_site_id", T.StringType()),
+        T.StructField("attributes",
+                      T.MapType(T.StringType(), T.StringType())),
+    ])
+    return spark.createDataFrame(
+        [(s.site_id, s.url, s.sleeptime, s.crawler_site_id,
+          s.attributes) for s in sites], schema)
+
+
+def _load_world(spark: SparkSession, world_dir: str) -> dict:
+    return {
+        "sitemaps": spark.read.parquet(f"{world_dir}/sitemaps.parquet"),
+        "pages": spark.read.parquet(f"{world_dir}/pages.parquet"),
+        "index0": spark.read.parquet(f"{world_dir}/index0.parquet"),
+        "fetch_status": spark.read.parquet(
+            f"{world_dir}/fetch_status.parquet"),
+    }
+
+
+def _annotate_frontier(frontier: DataFrame, world: dict,
+                       index_current: DataFrame | None,
+                       sites_dim: DataFrame, force: bool) -> DataFrame:
+    """Steps F3/F4/F7/F8 as one narrow-column pass; html untouched."""
+    pages_meta = world["pages"].select(F.col("url").alias("loc"),
+                                       "warc_ts")
+    fs = world["fetch_status"].select(
+        F.col("url").alias("loc"), "status", "n_429",
+        F.col("headers").alias("header_overrides"))
+
+    df = frontier.join(pages_meta, "loc", "left")
+    df = df.join(fs, "loc", "left")
+    df = df.withColumn("status", F.coalesce(F.col("status"), F.lit(200)))
+    df = df.withColumn("n_429", F.coalesce(F.col("n_429"), F.lit(0)))
+
+    if index_current is not None:
+        # bloom prune: urls surely not indexed skip the exact join
+        bloom = seen.build_url_bloom(index_current.select("url"), "url")
+        new, cand = seen.split_by_bloom(df, bloom, "loc")
+        cand = with_last_indexed(cand, index_current, sites_dim)
+        new = new.withColumn("last_indexed",
+                             F.lit(None).cast("timestamp"))
+        df = new.unionByName(cand)
+    else:
+        df = df.withColumn("last_indexed", F.lit(None).cast("timestamp"))
+
+    modified = is_modified_col(force)
+    page_found = F.col("warc_ts").isNotNull()
+    skip = (
+        F.when(~modified, F.lit("not_modified"))           # fetcher.py:50-51
+        .when(F.col("status").between(300, 399),
+              F.lit("redirect"))                           # fetcher.py:54-58
+        .when((F.col("status") != 200) | ~page_found,
+              F.lit("fetch_error")))                       # fetcher.py:68-70
+    return df.withColumn("skip_reason", skip)
+
+
+def _batch_resources(batch: DataFrame, world: dict,
+                     sites_dim: DataFrame) -> DataFrame:
+    """Fetch-simulate (S6): page-store inner join (html/text read HERE
+    only), synthesized response headers (content-type + last-modified =
+    warc_ts, FIXTURES §1) merged with per-url overrides, site attrs via
+    broadcast."""
+    pages = world["pages"].select(
+        F.col("url").alias("loc"), F.col("warc_ts").alias("__wts"),
+        "html", "text")
+    df = batch.join(pages, "loc", "inner")
+    base_headers = F.create_map(
+        F.lit("content-type"), F.lit("text/html; charset=utf-8"),
+        F.lit("last-modified"),
+        F.date_format("__wts", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    headers = F.when(
+        F.col("header_overrides").isNotNull(),
+        F.map_concat(base_headers, F.col("header_overrides"))
+    ).otherwise(base_headers)
+    df = df.withColumn("headers", headers)
+    df = df.withColumn(
+        "content_type",
+        F.split(F.col("headers")["content-type"], ";").getItem(0))
+    dim = sites_dim.select(
+        "site_id", F.col("attributes").alias("site_attributes"),
+        F.col("crawler_site_id").alias("__csid"))
+    return df.join(F.broadcast(dim), "site_id", "left")
+
+
+def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
+              sites: list | None = None,
+              config: cfg.CrawlerConfig | None = None,
+              crawl_time: datetime | None = None,
+              batch_seconds: float = 600.0,
+              url: str | None = None, force: bool = False,
+              max_batches: int | None = None,
+              resume: bool = True) -> CrawlResult:
+    sites = sites if sites is not None else default_sites()
+    config = config or cfg.default_config()
+    world = _load_world(spark, world_dir)
+    sink = IndexSink(spark, os.path.join(out_dir, "index"))
+    ckpt_root = os.path.join(out_dir, "checkpoints")
+    os.makedirs(ckpt_root, exist_ok=True)
+    meta_path = os.path.join(out_dir, "run_meta.json")
+
+    # F1: single-URL mode skips non-matching sites (main.py:76-78)
+    if url:
+        sites = [s for s in sites if url.startswith(s.url)]
+
+    committed = _committed_batches(ckpt_root)
+    resuming = resume and bool(committed)
+
+    if resuming:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        crawl_time = datetime.fromisoformat(meta["crawl_time"])
+        last = committed[-1]
+        remaining = spark.read.parquet(
+            os.path.join(ckpt_root, f"batch={last}", "remaining"))
+        host_state = spark.read.parquet(
+            os.path.join(ckpt_root, f"batch={last}", "host_state"))
+        metrics = meta.get("metrics", [])
+        start_batch = last + 1
+    else:
+        crawl_time = crawl_time or DEFAULT_CRAWL_TIME
+        with open(meta_path, "w") as fh:
+            json.dump({"crawl_time": crawl_time.isoformat(),
+                       "metrics": []}, fh)
+        metrics = []
+        start_batch = 0
+
+        sink.write_base(world["index0"])
+        sdf = sites_df(spark, sites)
+
+        frontier = build_frontier(spark, sites, world["sitemaps"]).cache()
+
+        # purge BEFORE crawling, on the full sitemap membership even in
+        # single-URL mode (main.py:102 runs before the URL filter)
+        purged = purge_candidates(sink.current(), sdf, frontier)
+        sink.append_deletes(purged, batch_id=start_batch)
+
+        if url:
+            frontier = frontier.filter(F.col("loc") == url)  # F2
+
+        annotated = _annotate_frontier(
+            frontier, world, spark.read.parquet(sink.base_path), sdf,
+            force)
+        to_crawl = annotated.filter(F.col("skip_reason").isNull())
+        skips = {r["skip_reason"]: r["n"] for r in
+                 annotated.filter(F.col("skip_reason").isNotNull())
+                 .groupBy("skip_reason").count()
+                 .withColumnRenamed("count", "n").collect()}
+        metrics.append({"batch": -1, "event": "plan",
+                        "skips": skips})
+
+        remaining = to_crawl
+        host_state = politeness.initial_host_state(remaining, sdf)
+        _write_ckpt(ckpt_root, -1, remaining, host_state)
+        remaining, host_state = _read_ckpt(spark, ckpt_root, -1)
+        start_batch = 0
+
+    sdf = sites_df(spark, sites)
+    batch_id = start_batch
+    n_batches = 0
+    while True:
+        if max_batches is not None and n_batches >= max_batches:
+            break
+        if remaining.limit(1).count() == 0:
+            break
+        batch = politeness.select_batch(remaining, host_state,
+                                        batch_seconds).cache()
+        admitted = batch.count()
+        if admitted == 0:
+            break
+
+        resources = _batch_resources(batch, world, sdf)
+        docs = extract_documents(
+            resources, config, crawl_time,
+            passthrough=("crawl_seq", "site_id", "__csid"))
+        # crawler_site_id injection (main.py:152-153)
+        docs = (docs.withColumn("crawler_site_id", F.col("__csid"))
+                .drop("__csid")
+                .withColumn("op_seq", F.col("crawl_seq"))
+                .withColumn("batch_id", F.lit(batch_id))
+                .withColumn("url", F.col("path_string")))
+        sink.append_upserts(docs, batch_id)
+        indexed = docs.count()
+
+        host_state = politeness.updated_host_state(
+            host_state, batch.filter(F.col("n_429") > 0))
+        remaining = remaining.join(batch.select("crawl_seq"),
+                                   "crawl_seq", "left_anti")
+        _write_ckpt(ckpt_root, batch_id, remaining, host_state)
+        remaining, host_state = _read_ckpt(spark, ckpt_root, batch_id)
+        metrics.append({"batch": batch_id, "admitted": admitted,
+                        "indexed": indexed})
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        meta["metrics"] = metrics
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh)
+        batch.unpersist()
+        batch_id += 1
+        n_batches += 1
+
+    return CrawlResult(out_dir=out_dir, batches=batch_id,
+                       metrics=metrics, sink=sink)
+
+
+# ---------------------------------------------------------------------------
+# checkpoints
+# ---------------------------------------------------------------------------
+
+
+def _write_ckpt(root: str, batch_id: int, remaining: DataFrame,
+                host_state: DataFrame) -> None:
+    d = os.path.join(root, f"batch={batch_id}")
+    remaining.write.mode("overwrite").parquet(os.path.join(d, "remaining"))
+    host_state.write.mode("overwrite").parquet(
+        os.path.join(d, "host_state"))
+    with open(os.path.join(d, "_COMMIT"), "w") as fh:
+        fh.write("ok")
+
+
+def _read_ckpt(spark: SparkSession, root: str, batch_id: int):
+    d = os.path.join(root, f"batch={batch_id}")
+    return (spark.read.parquet(os.path.join(d, "remaining")),
+            spark.read.parquet(os.path.join(d, "host_state")))
+
+
+def _committed_batches(root: str) -> list:
+    out = []
+    if not os.path.isdir(root):
+        return out
+    for name in os.listdir(root):
+        if name.startswith("batch=") and os.path.exists(
+                os.path.join(root, name, "_COMMIT")):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(b for b in out)

@@ -1,0 +1,158 @@
+"""End-to-end crawl: the distributed engine vs the sequential
+plain-Python oracle (tests/oracle.py) on the same synthetic world —
+crawl order, URL-seen membership, purge set, skip reasons, final index
+contents, byte-identical text per url, and resume-from-checkpoint."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftw_crawler_spark import config as cfg
+from ftw_crawler_spark.plans.crawl import run_crawl
+from ftw_crawler_spark.sources.synth import default_sites, generate_world
+
+from .oracle import run_oracle
+
+CRAWL_TIME = datetime(2026, 1, 15, 12, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def world(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("world"))
+    generate_world(spark, d, n_urls=300)
+    return d
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark, world, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("run"))
+    result = run_crawl(spark, world, out, crawl_time=CRAWL_TIME,
+                       batch_seconds=5.0)   # small budget → >1 batch
+    return result
+
+
+@pytest.fixture(scope="module")
+def oracle_run(world):
+    return run_oracle(world, default_sites(), cfg.default_config(),
+                      CRAWL_TIME)
+
+
+def _crawled(engine_run):
+    idx = engine_run.index()
+    return (idx.filter(F.col("batch_id").isNotNull())
+            .select("url", "crawl_seq", "batch_id", "UID", "Title",
+                    "SearchableText", "modified"))
+
+
+def test_multiple_batches_ran(engine_run):
+    assert engine_run.batches >= 2
+
+
+def test_seen_set_matches_oracle(engine_run, oracle_run):
+    engine_seen = {r["url"] for r in _crawled(engine_run).collect()}
+    assert engine_seen == oracle_run["seen"]
+
+
+def test_crawl_order_matches_oracle(engine_run, oracle_run):
+    ordered = [r["url"] for r in
+               _crawled(engine_run).orderBy("crawl_seq").collect()]
+    assert ordered == oracle_run["crawl_order"]
+
+
+def test_politeness_never_reorders_within_host(engine_run):
+    # batch_id must be monotone in crawl_seq per host (politeness only
+    # delays, never reorders — SURVEY §4)
+    rows = (_crawled(engine_run)
+            .withColumn("host", F.parse_url("url", F.lit("HOST")))
+            .orderBy("host", "crawl_seq")
+            .select("host", "crawl_seq", "batch_id").collect())
+    last = {}
+    for r in rows:
+        assert r["batch_id"] >= last.get(r["host"], 0)
+        last[r["host"]] = r["batch_id"]
+
+
+def test_skip_reasons_match_oracle(engine_run, oracle_run):
+    plan = [m for m in engine_run.metrics if m.get("event") == "plan"][0]
+    from collections import Counter
+    oracle_counts = Counter(oracle_run["skipped"].values())
+    assert plan["skips"] == dict(oracle_counts)
+
+
+def test_purge_matches_oracle(spark, engine_run, oracle_run, world):
+    index0 = spark.read.parquet(f"{world}/index0.parquet")
+    final_uids = {r["UID"] for r in
+                  engine_run.index().select("UID").collect()}
+    for uid in oracle_run["purged"]:
+        assert uid not in final_uids or uid in {
+            d["UID"] for d in oracle_run["index"].values()}, uid
+    # purged-and-not-recrawled docs must be gone
+    recrawled = {d["UID"] for d in oracle_run["index"].values()}
+    gone = oracle_run["purged"] - recrawled
+    assert gone and not (gone & final_uids)
+
+
+def test_final_index_matches_oracle(engine_run, oracle_run):
+    engine_docs = {r["UID"]: r for r in
+                   engine_run.index()
+                   .select("UID", "url", "Title", "SearchableText",
+                           "modified").collect()}
+    oracle_docs = oracle_run["index"]
+    assert set(engine_docs) == set(oracle_docs)
+    mismatches = []
+    for uid, od in oracle_docs.items():
+        ed = engine_docs[uid]
+        if "Title" in od and ed["Title"] != od["Title"]:
+            mismatches.append((uid, "Title", ed["Title"], od["Title"]))
+        # byte-identical extracted text per url (north-rule invariant)
+        if "SearchableText" in od \
+                and ed["SearchableText"] != od["SearchableText"]:
+            mismatches.append((uid, "text"))
+        om = od.get("modified")
+        if om is not None:
+            if om.tzinfo is not None:
+                om = om.astimezone(timezone.utc).replace(tzinfo=None)
+            if ed["modified"] != om:
+                mismatches.append((uid, "modified", ed["modified"], om))
+    assert not mismatches, mismatches[:5]
+
+
+def test_resume_equals_single_run(spark, world, engine_run,
+                                  tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("resume"))
+    partial = run_crawl(spark, world, out, crawl_time=CRAWL_TIME,
+                        batch_seconds=5.0, max_batches=1)
+    assert partial.batches == 1
+    resumed = run_crawl(spark, world, out, crawl_time=CRAWL_TIME,
+                        batch_seconds=5.0, resume=True)
+    a = {(r["UID"], r["url"], r["Title"], r["crawl_seq"])
+         for r in engine_run.index()
+         .select("UID", "url", "Title", "crawl_seq").collect()}
+    b = {(r["UID"], r["url"], r["Title"], r["crawl_seq"])
+         for r in resumed.index()
+         .select("UID", "url", "Title", "crawl_seq").collect()}
+    assert a == b
+
+
+def test_single_url_mode(spark, world, oracle_run, tmp_path_factory):
+    # F1/F2: only the named URL is crawled; purge still runs for the site
+    target = sorted(u for u in oracle_run["seen"]
+                    if u.startswith("https://site0.example.ch/"))[0]
+    out = str(tmp_path_factory.mktemp("single"))
+    res = run_crawl(spark, world, out, crawl_time=CRAWL_TIME, url=target)
+    crawled = _crawled(res).collect()
+    assert [r["url"] for r in crawled] == [target]
+    oracle_single = run_oracle(world, default_sites(),
+                               cfg.default_config(), CRAWL_TIME,
+                               url_filter=target)
+    assert oracle_single["crawl_order"] == [target]
+    # purge applied for site0 even in single-URL mode
+    gone = oracle_single["purged"]
+    final_uids = {r["UID"] for r in res.index().select("UID").collect()}
+    assert gone and not (gone
+                         & final_uids
+                         - {d["UID"] for d in
+                            oracle_single["index"].values()})

@@ -1,0 +1,122 @@
+"""Ported sitemap semantics (reference tests/test_sitemap.py): parse
+goldens, property subsets, gz handling, discovery fallbacks, index
+expansion order."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from ftw_crawler_spark.config import Site
+from ftw_crawler_spark.operators.sitemaps import (
+    NoSitemapFound, _resolve_site, is_sitemap_index, parse_entries)
+
+SITEMAP_XML = b"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>http://example.org/foo</loc>
+    <changefreq>daily</changefreq>
+    <priority>1.0</priority>
+    <lastmod>2014-12-31</lastmod>
+  </url>
+  <url>
+    <loc>http://example.org/bar</loc>
+    <target>http://example.org/target-bar</target>
+    <changefreq>daily</changefreq>
+    <priority>1.0</priority>
+    <lastmod>2005-01-01</lastmod>
+  </url>
+</urlset>"""
+
+REQ_ONLY_XML = b"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>http://example.org/only-loc</loc></url>
+</urlset>"""
+
+INDEX_XML = b"""<?xml version="1.0" encoding="UTF-8"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>http://example.org/a.xml</loc></sitemap>
+  <sitemap><loc>http://example.org/b.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_golden_properties():
+    # reference test_sitemap.py:129-150
+    entries = parse_entries(SITEMAP_XML)
+    assert len(entries) == 2
+    assert entries[0]["loc"] == "http://example.org/foo"
+    assert entries[0]["lastmod"] == "2014-12-31"
+    assert entries[0]["changefreq"] == "daily"
+    assert entries[0]["priority"] == "1.0"
+    assert entries[0]["target"] is None         # absent key
+    assert entries[1]["target"] == "http://example.org/target-bar"
+
+
+def test_parse_req_only():
+    entries = parse_entries(REQ_ONLY_XML)
+    assert entries == [{"loc": "http://example.org/only-loc",
+                        "lastmod": None, "changefreq": None,
+                        "priority": None, "target": None}]
+
+
+def test_parse_gz():
+    entries = parse_entries(gzip.compress(SITEMAP_XML), gz=True)
+    assert len(entries) == 2
+
+
+def test_index_parse_and_detection():
+    assert is_sitemap_index(INDEX_XML)
+    assert not is_sitemap_index(SITEMAP_XML)
+    infos = parse_entries(INDEX_XML, container="sitemapindex",
+                          child="sitemap")
+    assert [i["loc"] for i in infos] == [
+        "http://example.org/a.xml", "http://example.org/b.xml"]
+
+
+def _meta(d):
+    return {k: (v.get("is_index", False), v.get("gz", False))
+            for k, v in d.items()}
+
+
+def test_discovery_static_short_circuits():
+    # sitemap.py:32-34: configured sitemap_urls skip discovery entirely
+    site = Site(0, "http://x.org/", sitemap_urls=["http://x.org/s1.xml",
+                                                  "http://x.org/s2.xml"])
+    assert _resolve_site(site, {}, {}) == ["http://x.org/s1.xml",
+                                           "http://x.org/s2.xml"]
+
+
+def test_discovery_prefers_real_index():
+    site = Site(0, "http://x.org/")
+    meta = _meta({"http://x.org/sitemap_index.xml": {"is_index": True}})
+    bodies = {"http://x.org/sitemap_index.xml": (INDEX_XML, False)}
+    assert _resolve_site(site, meta, bodies) == [
+        "http://example.org/a.xml", "http://example.org/b.xml"]
+
+
+def test_discovery_falls_back_to_single_sitemap():
+    site = Site(0, "http://x.org/")
+    meta = _meta({"http://x.org/sitemap.xml": {}})
+    assert _resolve_site(site, meta, {}) == ["http://x.org/sitemap.xml"]
+
+
+def test_discovery_gz_fallback_order():
+    # sitemap.py:160-172: sitemap.xml probed before sitemap.xml.gz
+    site = Site(0, "http://x.org/")
+    meta = _meta({"http://x.org/sitemap.xml.gz": {"gz": True}})
+    assert _resolve_site(site, meta, {}) == ["http://x.org/sitemap.xml.gz"]
+
+
+def test_discovery_index_name_present_but_not_index():
+    # sitemap.py:47-48: a sitemap_index.xml that is not actually an
+    # index is skipped and discovery continues
+    site = Site(0, "http://x.org/")
+    meta = _meta({"http://x.org/sitemap_index.xml": {},
+                  "http://x.org/sitemap.xml": {}})
+    assert _resolve_site(site, meta, {}) == ["http://x.org/sitemap.xml"]
+
+
+def test_no_sitemap_raises():
+    with pytest.raises(NoSitemapFound):
+        _resolve_site(Site(0, "http://x.org/"), {}, {})
