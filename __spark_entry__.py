@@ -1,38 +1,763 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the reference's ExtractionEngine
+(ftw/crawler/extractors.py:79-143) as one wide vectorized projection
+over a page store derived from /root/testdata/sf0.001/documents.parquet.
+
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY.md §2 plus the training-data-pipeline operators (dedup,
+similarity, text analysis, multimodal). Each Spark query is the real
+engine code path (ftw_crawler_spark.*); each oracle is ANSI SQL DuckDB
+runs on the same parquet. Crawl-specific end-to-end entries that have
+no SQL equivalent (the politeness-scheduled micro-batch loop) omit the
+oracle — the driver records a rows-only check for those.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
+from datetime import datetime
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd  # noqa: F401 — pandas_udf type-hint resolution
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ftw_crawler_spark import config as cfg
+from ftw_crawler_spark.operators import dedup, multimodal, seen
+from ftw_crawler_spark.operators import similarity as simi
+from ftw_crawler_spark.operators import textstats as ts
+from ftw_crawler_spark.operators.extraction import extract_documents
+
+SF001 = "/root/testdata/sf0.001"
+CRAWL_TIME = datetime(2026, 1, 15, 12, 0, 0)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: extraction engine over a documents-derived page store
+# ---------------------------------------------------------------------------
+
+def _doc_url():
+    return F.concat(F.lit("https://corpus.example.org/"),
+                    F.col("source"), F.lit("/doc-"),
+                    F.col("doc_id").cast("string"))
+
+
+def _doc_resources(docs: DataFrame) -> DataFrame:
+    """Synthesize the resource frame (ResourceInfo analog, SURVEY §1.3)
+    from the documents table: known html ⇒ every extractor's expected
+    value is a closed-form function of (doc_id, source, text)."""
+    title = F.concat(F.lit("Heading "), F.col("doc_id").cast("string"))
+    html = F.concat(
+        F.lit("<html><head><title>T</title>"
+              '<meta name="description" content="About doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('"/><meta name="keywords" content="'),
+        F.col("source"), F.lit(",corpus"),
+        F.lit('"/><meta name="author" content="gen"/></head><body>'
+              '<div id="content"><h1>'),
+        title,
+        F.lit("</h1></div><p>"), F.col("text"),
+        F.lit("</p></body></html>"))
+    return docs.select(
+        F.col("doc_id"),
+        _doc_url().alias("loc"),
+        F.lit(None).cast("string").alias("lastmod"),
+        F.lit(None).cast("string").alias("target"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.concat(title, F.lit(" "), F.col("text")).alias("text"),
+        F.lit("text/html").alias("content_type"),
+        F.create_map(F.lit("content-type"),
+                     F.lit("text/html; charset=utf-8"),
+                     F.lit("last-modified"),
+                     F.lit("2025-06-01T00:00:00Z")).alias("headers"),
+        F.create_map(F.lit("site_area"), F.lit("Corpus")).alias(
+            "site_attributes"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full 20-field extraction (the reference's canonical
+    document schema, tests/assets/basic_config.py:62-115) over sf0.001."""
+    docs = _t(spark, SF001, "documents")
+    resources = _doc_resources(docs)
+    return extract_documents(resources, cfg.default_config(), CRAWL_TIME,
+                             passthrough=("doc_id",))
+
+
+# ---------------------------------------------------------------------------
+# crawl end-to-end (no SQL oracle — rows-only check)
+# ---------------------------------------------------------------------------
+
+
+def _crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline on the deterministic synthetic world (SURVEY §7
+    M0-M5): sitemap discovery → purge → incremental gates → politeness
+    micro-batches → extraction → upsert sink. Returns the final index."""
+    from ftw_crawler_spark.plans.crawl import run_crawl
+    from ftw_crawler_spark.sources.synth import generate_world
+
+    world = "/tmp/ftw_spark_world_entry"
+    if not os.path.exists(os.path.join(world, "_READY")):
+        generate_world(spark, world, n_urls=400)
+        with open(os.path.join(world, "_READY"), "w") as fh:
+            fh.write("ok")
+    out = tempfile.mkdtemp(prefix="ftw_spark_crawl_")
+    result = run_crawl(spark, world, out, crawl_time=CRAWL_TIME)
+    idx = result.index()
+    return idx.select("UID", "url", "Title", "modified",
+                      "crawler_site_id", "op_seq")
+
+
+# ---------------------------------------------------------------------------
+# the query/oracle registry
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def reg(fn):
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+    return reg
+
+
+_TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+_MD5L = "('0x' || substr(md5({0}), 1, 15))::BIGINT"
+
+
+# --- S/F family: scans, joins, incremental, purge, seen -------------------
+
+
+@_q("last_indexed_join", """
+SELECT c.c_custkey AS custkey, max(o.o_orderdate) AS last_indexed
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+""")
+def _last_indexed(spark, sf_dir):
+    """F3: last-indexed lookup = left join + max (main.py:61-66)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, o.o_custkey == c.c_custkey, "left")
+            .groupBy(F.col("c_custkey").alias("custkey"))
+            .agg(F.max("o_orderdate").alias("last_indexed")))
+
+
+@_q("is_modified_filter", """
+SELECT l.l_orderkey AS orderkey, l.l_linenumber AS linenumber
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate
+""")
+def _is_modified(spark, sf_dir):
+    """F4: strict-> incremental gate (fetcher.py:26-43; equal timestamps
+    are NOT modified, test_fetcher.py:124-151)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+            .select(F.col("l_orderkey").alias("orderkey"),
+                    F.col("l_linenumber").alias("linenumber")))
+
+
+@_q("purge_anti_join", """
+SELECT c_custkey AS custkey FROM customer
+WHERE c_custkey NOT IN (SELECT user_id FROM events)
+""")
+def _purge(spark, sf_dir):
+    """F6: purge = left_anti join (purging.py:8-30)."""
+    c = _t(spark, sf_dir, "customer")
+    e = _t(spark, sf_dir, "events")
+    return (c.join(e, c.c_custkey == e.user_id, "left_anti")
+            .select(F.col("c_custkey").alias("custkey")))
+
+
+@_q("seen_bloom_antijoin", """
+SELECT doc_id FROM documents WHERE doc_id % 7 <> 0
+""")
+def _seen_bloom(spark, sf_dir):
+    """F5/F9 + north-rule seen-set: bloom prune → exact anti-join
+    backstop (false positives verified exactly, never dropped)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _doc_url().alias("loc"))
+    seen_urls = docs.filter(F.col("doc_id") % 7 == 0) \
+        .select(F.col("loc").alias("url"))
+    bloom = seen.build_url_bloom(seen_urls, "url")
+    fresh, candidates = seen.split_by_bloom(docs, bloom, "loc")
+    verified = candidates.join(
+        seen_urls, candidates.loc == seen_urls.url, "left_anti")
+    return fresh.select("doc_id").unionByName(verified.select("doc_id"))
+
+
+@_q("membership_ci_semijoin", """
+SELECT doc_id FROM documents WHERE lower(source) IN ('src0', 'src1', 'src2')
+""")
+def _membership(spark, sf_dir):
+    """F5: case-insensitive membership (sitemap.py:200-204)."""
+    docs = _t(spark, sf_dir, "documents")
+    members = spark.createDataFrame(
+        [("SRC0",), ("Src1",), ("src2",)], ["m"])
+    return (docs.join(F.broadcast(members),
+                      F.lower(docs.source) == F.lower(members.m),
+                      "left_semi")
+            .select("doc_id"))
+
+
+# --- A family: ordering, windows, aggregation ------------------------------
+
+
+@_q("crawl_order_seq", """
+SELECT o_orderkey AS orderkey,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS crawl_seq
+FROM orders
+""")
+def _crawl_order(spark, sf_dir):
+    """A3: deterministic crawl ordering as a window row_number
+    (main.py:75,107,113 — config order → sitemap order → doc order)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(F.col("o_orderkey").alias("orderkey"),
+                    F.row_number().over(w).cast("long").alias("crawl_seq"))
+
+
+@_q("politeness_budget", """
+SELECT user_id, event_id, rn AS slot FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn <= 3
+""")
+def _politeness(spark, sf_dir):
+    """P1 analog: per-host budget = earliest-k per key window (the
+    politeness scheduler admits capacity = batch_seconds/sleeptime rows
+    per host per micro-batch)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (e.withColumn("slot", F.row_number().over(w).cast("long"))
+            .filter(F.col("slot") <= 3)
+            .select("user_id", "event_id", "slot"))
+
+
+@_q("host_counts_salted", """
+SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+""")
+def _host_counts(spark, sf_dir):
+    """Skew-safe aggregation: explicit salt → partial → merge (the
+    host-key pattern for 10^10-URL frontiers, SURVEY §4.1). Result is
+    identical to the direct groupBy; the two-phase shape bounds any one
+    reducer's key volume."""
+    e = _t(spark, sf_dir, "events")
+    partial = (e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+               .groupBy("event_type", "salt")
+               .agg(F.count(F.lit(1)).alias("c")))
+    return (partial.groupBy("event_type")
+            .agg(F.sum("c").alias("n_events")))
+
+
+@_q("events_daily_agg", """
+SELECT date_trunc('day', ts) AS day, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def _events_daily(spark, sf_dir):
+    """Micro-batch/windowed aggregation analog (A5): exact decimal sums
+    cast back to double so the cross-engine hash is bit-stable."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.date_trunc("day", "ts").alias("day"),
+                      "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                 .cast("double").alias("sum_value")))
+
+
+@_q("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def _q1(spark, sf_dir):
+    """TPC-H Q1 shape: map-side partial agg on a low-cardinality key;
+    decimal-exact sums → double for cross-engine bit-parity."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_qty"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_base_price"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                       * (F.lit(1) - F.col("l_discount")
+                          .cast("decimal(18,2)")))
+                 .cast("double").alias("sum_disc_price"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@_q("q3_order_revenue", """
+SELECT o.o_orderkey AS orderkey, o.o_orderdate AS orderdate,
+  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate < DATE '1995-03-15' AND l.l_shipdate > DATE '1995-03-15'
+GROUP BY o.o_orderkey, o.o_orderdate
+""")
+def _q3(spark, sf_dir):
+    """TPC-H Q3 shape: selective join chain — customer dim broadcast,
+    orders⋈lineitem shuffle on orderkey."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+            .join(o.filter(F.col("o_orderdate") < F.lit("1995-03-15")),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy(F.col("o_orderkey").alias("orderkey"),
+                     F.col("o_orderdate").alias("orderdate"))
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                       * (F.lit(1) - F.col("l_discount")
+                          .cast("decimal(18,2)")))
+                 .cast("double").alias("revenue")))
+
+
+# --- E family: extraction scalars ------------------------------------------
+
+
+@_q("uid_md5_uuid", """
+SELECT doc_id,
+  substr(h,1,8)||'-'||substr(h,9,4)||'-'||substr(h,13,4)||'-'||
+  substr(h,17,4)||'-'||substr(h,21,12) AS uid
+FROM (SELECT doc_id,
+      md5('https://corpus.example.org/'||source||'/doc-'||doc_id) AS h
+      FROM documents)
+""")
+def _uid(spark, sf_dir):
+    """E3: md5-as-UUID (extractors.py:152-158; golden
+    test_extractors.py:513-521) as a pure Column expression."""
+    from ftw_crawler_spark.operators.extraction import md5_uuid_col
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", md5_uuid_col(_doc_url()).alias("uid"))
+
+
+@_q("normalize_whitespace", """
+SELECT doc_id,
+  array_to_string(list_filter(string_split_regex(
+    'x  '||text||chr(10)||' end', '\\s+'), x -> x <> ''), ' ') AS norm_text
+FROM documents
+""")
+def _norm_ws(spark, sf_dir):
+    """E2 ⚠: u' '.join(s.split()) — collapse ALL whitespace runs
+    (utils.py:98-105) via the engine's real vectorized path."""
+    from ftw_crawler_spark.functions.scalars import normalize_whitespace
+
+    @F.pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        return s.map(normalize_whitespace)
+
+    docs = _t(spark, sf_dir, "documents")
+    noisy = F.concat(F.lit("x  "), F.col("text"), F.lit("\n end"))
+    return docs.select("doc_id", norm(noisy).alias("norm_text"))
+
+
+@_q("target_coalesce", """
+SELECT doc_id,
+  coalesce(CASE WHEN doc_id % 3 = 0 THEN 'https://t/'||doc_id END,
+           'https://corpus.example.org/'||source||'/doc-'||doc_id) AS target_url
+FROM documents
+""")
+def _target(spark, sf_dir):
+    """E6: target ?? loc (extractors.py:187-193)."""
+    docs = _t(spark, sf_dir, "documents")
+    target = F.when(F.col("doc_id") % 3 == 0,
+                    F.concat(F.lit("https://t/"),
+                             F.col("doc_id").cast("string")))
+    return docs.select(
+        "doc_id", F.coalesce(target, _doc_url()).alias("target_url"))
+
+
+@_q("keywords_split", """
+SELECT doc_id, unnest(
+  CASE WHEN contains(kw, ',')
+       THEN list_transform(string_split(kw, ','), x -> trim(x))
+       ELSE list_filter(string_split_regex(kw, '\\s+'), x -> x <> '')
+  END) AS keyword
+FROM (SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0
+           THEN source || ' , ' || lang || ',corpus x'
+           ELSE source || ' ' || lang END AS kw
+      FROM documents)
+""")
+def _keywords(spark, sf_dir):
+    """E13: split on ',' when present else whitespace, strip items
+    (extractors.py:363-373)."""
+    docs = _t(spark, sf_dir, "documents")
+    kw = F.when(F.col("doc_id") % 2 == 0,
+                F.concat(F.col("source"), F.lit(" , "), F.col("lang"),
+                         F.lit(",corpus x"))) \
+        .otherwise(F.concat(F.col("source"), F.lit(" "), F.col("lang")))
+    arr = F.when(kw.contains(","),
+                 F.transform(F.split(kw, ","), lambda x: F.trim(x))) \
+        .otherwise(F.filter(F.split(kw, r"\s+"), lambda x: x != ""))
+    return docs.select("doc_id", F.explode(arr).alias("keyword"))
+
+
+@_q("extraction_engine_wide", """
+WITH base AS (
+  SELECT doc_id,
+    'https://corpus.example.org/'||source||'/doc-'||doc_id AS loc,
+    'Heading '||doc_id AS title, text
+  FROM documents)
+SELECT doc_id,
+  substr(h,1,8)||'-'||substr(h,9,4)||'-'||substr(h,13,4)||'-'||
+    substr(h,17,4)||'-'||substr(h,21,12) AS "UID",
+  loc AS url, title AS "Title",
+  ltrim(title||' '||text, title) AS "snippetText"
+FROM (SELECT *, md5(loc) AS h FROM base)
+""")
+def _extract_wide(spark, sf_dir):
+    """E1/E7/E8/E11: the ExtractionEngine projection — title cascade hits
+    the //div[@id='content']/h1 branch (extractors.py:205-210), snippet
+    reproduces the ⚠ str.lstrip(title) char-set quirk
+    (extractors.py:306-327 — DuckDB ltrim(s, chars) has the same
+    semantics, so this quirk is exactly oracle-checkable)."""
+    docs = _t(spark, sf_dir, "documents")
+    resources = _doc_resources(docs)
+    fields = [
+        cfg.Field("UID", cfg.UIDExtractor(), required=True),
+        cfg.Field("url", cfg.URLExtractor()),
+        cfg.Field("Title", cfg.TitleExtractor()),
+        cfg.Field("snippetText", cfg.SnippetTextExtractor()),
+    ]
+    config = cfg.CrawlerConfig(sites=[], fields=fields)
+    return extract_documents(resources, config, CRAWL_TIME,
+                             passthrough=("doc_id",))
+
+
+# --- dedup family -----------------------------------------------------------
+
+
+@_q("dedup_exact_groups", """
+SELECT md5(substr(text,1,30)) AS content_hash, count(*) AS group_size,
+       min(doc_id) AS rep_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""")
+def _dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy, one shuffle with map-side combine
+    (keyed on a 30-char prefix so the synthetic corpus actually has
+    collisions)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "k", F.substring("text", 1, 30))
+    return dedup.exact_dup_groups(docs, text_col="k")
+
+
+@_q("dedup_drop_exact", """
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY md5(substr(text,1,30))
+                                    ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+""")
+def _dedup_drop(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "k", F.substring("text", 1, 30))
+    return dedup.drop_exact_dups(docs, text_col="k").select("doc_id")
+
+
+_NGRAM_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id, list_distinct(
+         [t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1)]) AS shs
+       FROM toks WHERE len(t) >= 3),
+ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+          FROM ex a JOIN ex b USING (s) WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT p.a, p.b, p.shared, sa.n AS na, sb.n AS nb
+FROM pairs p JOIN sizes sa ON sa.doc_id = p.a
+             JOIN sizes sb ON sb.doc_id = p.b
+WHERE 5 * p.shared >= (sa.n + sb.n - p.shared)
+"""
+
+
+@_q("dedup_ngram_pairs", _NGRAM_SQL)
+def _ngram_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs (j ≥ 0.2 via integer
+    cross-multiplication — no float in the predicate): inverted
+    shingle-hash index self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = F.array_distinct(dedup.shingles_col(dedup.tokens_col("text")))
+    ex = (docs.select("doc_id", F.explode(sh).alias("s"))
+          .select("doc_id", dedup.md5_long(F.col("s")).alias("sh")))
+    sizes = ex.groupBy("doc_id").agg(F.countDistinct("sh").alias("n"))
+    a = ex.select(F.col("doc_id").alias("a"), "sh")
+    b = ex.select(F.col("doc_id").alias("b"), "sh")
+    shared = (a.join(b, "sh").filter(F.col("a") < F.col("b"))
+              .groupBy("a", "b").agg(F.count(F.lit(1)).alias("shared")))
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    return (shared.join(sa, "a").join(sb, "b")
+            .filter(5 * F.col("shared")
+                    >= (F.col("na") + F.col("nb") - F.col("shared")))
+            .select("a", "b", "shared", "na", "nb"))
+
+
+def _minhash_sql(n_perm: int = 16, bands: int = 4) -> str:
+    r = n_perm // bands
+    mins = ",\n  ".join(
+        f"min(('0x'||substr(md5('{i}:'||s),1,15))::BIGINT) AS mh{i}"
+        for i in range(n_perm))
+    band_rows = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band_idx, md5({expr}) AS band_hash FROM sig"
+        .format(b=b, expr="||':'||".join(
+            f"mh{b * r + j}" for j in range(r)))
+        for b in range(bands))
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id, list_distinct(
+         [t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1)]) AS shs
+       FROM toks WHERE len(t) >= 3),
+ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+bands AS ({band_rows})
+"""
+
+
+@_q("dedup_minhash_bands",
+    _minhash_sql() + "SELECT doc_id, band_idx, band_hash FROM bands")
+def _minhash_bands(spark, sf_dir):
+    """MinHash signatures + LSH banding (16 perms / 4 bands). The salted
+    md5-prefix permutation hash is engine-neutral, so the ENTIRE
+    sketch pipeline is oracle-checked bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.minhash_bands(docs)
+    return out.select(F.col("doc_id"),
+                      F.col("band_idx").cast("int").alias("band_idx"),
+                      "band_hash")
+
+
+@_q("dedup_minhash_pairs",
+    _minhash_sql() + """
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+WHERE a.doc_id < b.doc_id
+""")
+def _minhash_pairs(spark, sf_dir):
+    """LSH candidate pairs: ≥1 shared band bucket. Shuffle key =
+    (band_idx, band_hash); bucket sizes bounded by collision prob."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_candidate_pairs(docs)
+
+
+@_q("dedup_simhash", f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+h AS (SELECT doc_id, {_MD5L.format('w')} AS hv FROM tok),
+bits AS (SELECT doc_id, b AS bit,
+         CASE WHEN (hv >> (63 - b)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+         FROM h, (SELECT unnest(range(0, 64)) AS b)),
+agg AS (SELECT doc_id, bit, sum(vote) AS s FROM bits GROUP BY 1, 2)
+SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
+                          '' ORDER BY bit) AS simhash
+FROM agg GROUP BY doc_id
+""")
+def _simhash(spark, sf_dir):
+    """SimHash fingerprints: per-bit majority vote over the token hash
+    multiset — computed shuffle-free with aggregate() over the token
+    array (the oracle needs a 64-way explode; the engine doesn't)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_fingerprints(docs)
+
+
+# --- text analysis ----------------------------------------------------------
+
+_LANG_HIT = ("len(list_filter(t, x -> x IN ({words})))")
+
+
+def _lang_sql() -> str:
+    hits = {lang: _LANG_HIT.format(words=", ".join(
+        f"'{w}'" for w in ts.STOPWORDS[lang]))
+        for lang in ts.LANG_ORDER}
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+hits AS (SELECT doc_id, {hits['en']} AS en, {hits['de']} AS de,
+                {hits['fr']} AS fr, {hits['es']} AS es FROM toks)
+SELECT doc_id,
+  CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+       WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+       WHEN fr >= es AND fr > 0 THEN 'fr'
+       WHEN es > 0 THEN 'es'
+       ELSE 'und' END AS pred_lang
+FROM hits
+"""
+
+
+@_q("text_lang_id", _lang_sql())
+def _lang_id(spark, sf_dir):
+    """Language-ID by stopword voting — pure codegen, no shuffle."""
+    return ts.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@_q("text_quality", f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+SELECT doc_id,
+  len(t) AS n_tokens,
+  len(list_filter(t, x -> regexp_full_match(x, '[A-Za-zÀ-ÿ]+')))
+    AS n_alpha_tokens,
+  list_sum(list_transform(t, x -> length(x)))::BIGINT AS sum_token_chars,
+  len(list_filter(t, x -> x IN ('the','of','and','to','a','in','is','it')))
+    AS stop_hits,
+  (len(t) >= 10 AND len(t) <= 10000
+   AND list_sum(list_transform(t, x -> length(x))) >= 3 * len(t)
+   AND list_sum(list_transform(t, x -> length(x))) <= 12 * len(t))
+    AS quality_ok
+FROM toks
+""")
+def _quality(spark, sf_dir):
+    """Quality gate from integer token stats (length/alpha/stopword
+    ratios via cross-multiplication — float-free, oracle-exact)."""
+    return ts.quality_stats(_t(spark, sf_dir, "documents"))
+
+
+@_q("token_counts", f"""
+SELECT doc_id,
+  len({_TOKS_SQL}) AS n_ws_tokens,
+  len(regexp_extract_all(text, '{ts.BPE_REGEX}')) AS n_bpe_tokens
+FROM documents
+""")
+def _token_counts(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex pieces."""
+    return ts.token_counts(_t(spark, sf_dir, "documents"))
+
+
+@_q("doc_fingerprint", f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id, list_distinct(
+         [t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1)]) AS shs
+       FROM toks WHERE len(t) >= 3)
+SELECT doc_id,
+  array_to_string(list_slice(list_sort(
+    [('0x'||substr(md5(s),1,15))::BIGINT for s in shs]), 1, 4), ':')
+    AS fingerprint
+FROM sh WHERE len(shs) > 0
+""")
+def _fingerprint(spark, sf_dir):
+    """Bottom-k sketch fingerprint (rolling-document signature)."""
+    return ts.bottomk_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# --- similarity search ------------------------------------------------------
+
+_COS_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv
+      FROM embeddings),
+sims AS (SELECT q.query_id, c.neighbor_id,
+  list_dot_product(q.qv, c.nv)
+    / (sqrt(list_dot_product(q.qv, q.qv))
+       * sqrt(list_dot_product(c.nv, c.nv))) AS sim
+  FROM q, c WHERE c.neighbor_id <> q.query_id),
+ranked AS (SELECT query_id, neighbor_id, sim,
+  row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims)
+SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim_r4
+FROM ranked WHERE rank <= 5
+"""
+
+
+@_q("similarity_cosine_topk", _COS_SQL)
+def _cos_topk(spark, sf_dir):
+    """Brute-force exact cosine top-k (the ANN correctness baseline):
+    query side broadcast, corpus streamed, sequential-fold float math
+    so DuckDB reproduces the doubles bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return simi.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _lsh_sql(n_planes: int = 6) -> str:
+    return f"""
+WITH planes AS (
+  SELECT p, j,
+    CASE WHEN ('0x'||substr(md5(p||':'||j),1,15))::BIGINT % 2 = 1
+         THEN 1.0 ELSE -1.0 END AS sgn
+  FROM (SELECT unnest(range(0, {n_planes})) AS p),
+       (SELECT unnest(range(0, 64)) AS j)),
+comps AS (SELECT vec_id, j, embedding[j + 1]::DOUBLE AS v
+          FROM embeddings, (SELECT unnest(range(0, 64)) AS j)),
+proj AS (SELECT vec_id, p, sum(sgn * v) AS s
+         FROM comps JOIN planes USING (j) GROUP BY 1, 2),
+codes AS (SELECT vec_id,
+  string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS code
+  FROM proj GROUP BY vec_id),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT c.vec_id AS query_id, c.code, v.v AS qv
+      FROM codes c JOIN vecs v USING (vec_id) WHERE c.vec_id < 10),
+cand AS (SELECT q.query_id, c.vec_id AS neighbor_id, q.qv, v.v AS nv
+         FROM q JOIN codes c USING (code) JOIN vecs v ON v.vec_id = c.vec_id
+         WHERE c.vec_id <> q.query_id),
+sims AS (SELECT query_id, neighbor_id,
+  list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv))
+                              * sqrt(list_dot_product(nv, nv))) AS sim
+  FROM cand)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims) WHERE rank <= 5
+"""
+
+
+@_q("similarity_lsh_ann", _lsh_sql())
+def _lsh_ann(spark, sf_dir):
+    """Sign-LSH bucketed ANN (the 10^10-row scale path): md5-derived
+    hyperplanes make codes + buckets + re-rank fully oracle-checkable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return simi.lsh_ann(emb, query_ids=range(10), k=5, n_planes=6)
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+@_q("multimodal_blob_meta", """
+SELECT doc_id,
+  octet_length(encode(text)) AS n_bytes,
+  1 + ('0x'||substr(md5(text),1,15))::BIGINT % 1024 AS width,
+  1 + ('0x'||substr(md5('h:'||text),1,15))::BIGINT % 768 AS height,
+  substr(md5(text), 1, 8) AS magic
+FROM documents
+""")
+def _blob_meta(spark, sf_dir):
+    """Multimodal decode plumbing: binary column → mapInPandas (Arrow
+    batches) → typed metadata struct. Codec is a deterministic fake
+    (sandbox has no image libs); the distributed path is real."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob"))
+    return multimodal.blob_meta(docs)
+
+
+# --- crawl end-to-end (rows-only) ------------------------------------------
+
+_QUERIES["crawl_e2e_index"] = _crawl_e2e
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -96,17 +96,16 @@ def minhash_sig_cols(shingles: Column, n_perm: int = DEFAULT_N_PERM,
     """n_perm minhash values. use_md5=True → salted md5-prefix hash
     (cross-engine exact, the oracle path); False → xxhash64(shingle, i)
     (JVM-cheap production path, Spark-only)."""
-    sigs = []
-    for i in range(n_perm):
+    # NB: the per-perm lambdas MUST be single-argument — pyspark treats
+    # a 2-arg higher-order lambda as (element, array_index), which would
+    # silently shadow the permutation salt.
+    def salted(i):
         if use_md5:
-            h = F.transform(
-                shingles,
-                lambda s, i=i: md5_long(F.concat(F.lit(f"{i}:"), s)))
-        else:
-            h = F.transform(shingles,
-                            lambda s, i=i: F.xxhash64(s, F.lit(i)))
-        sigs.append(F.array_min(h).alias(f"mh_{i}"))
-    return sigs
+            return lambda s: md5_long(F.concat(F.lit(f"{i}:"), s))
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    return [F.array_min(F.transform(shingles, salted(i))).alias(f"mh_{i}")
+            for i in range(n_perm)]
 
 
 def minhash_bands(docs: DataFrame, text_col: str = "text",
@@ -213,13 +212,9 @@ def simhash_col(tokens: Column, n_bits: int = 64) -> Column:
         hashes, zero,
         lambda acc, h: F.zip_with(
             acc,
-            F.transform(F.sequence(F.lit(0), F.lit(n_bits - 1)),
-                        lambda i: F.when(
-                            F.shiftright(h, (F.lit(n_bits - 1) - i)
-                                         .cast("int"))
-                            .bitwiseAND(F.lit(1)) == 1,
-                            F.lit(1)).otherwise(F.lit(-1))),
-            lambda a, b: a + b))
+            F.split(F.lpad(F.bin(h), n_bits, "0"), ""),
+            lambda a, c: a + F.when(c == "1", F.lit(1))
+            .otherwise(F.lit(-1))))
     return F.concat_ws(
         "", F.transform(counts,
                         lambda c: F.when(c > 0, F.lit("1"))

@@ -1,0 +1,106 @@
+"""Text-analysis operators for training-data curation.
+
+Everything here is built-in Column expressions (whole-stage codegen,
+no Python): language-ID by stopword voting, quality scoring from
+integer token statistics, token counting (whitespace + a BPE-ish
+regex), and a bottom-k document fingerprint sketch. Each operator is
+designed so an ANSI-SQL engine reproduces it bit-for-bit (integer
+arithmetic, no float accumulation) — the driver's DuckDB oracle
+checks them exactly.
+
+Scale notes: all per-row projections — no shuffle at any corpus size;
+the fingerprint groupBy (when used for clustering) shuffles on the
+sketch string, which is uniform by construction (md5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ftw_crawler_spark.operators.dedup import (md5_long, shingles_col,
+                                               tokens_col)
+
+# Stopword vote sets (tiny on purpose: the heuristic must be cheap at
+# 100 TB and exactly reproducible in SQL).
+STOPWORDS = {
+    "en": ("the", "of", "and", "to", "a", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "fr": ("le", "la", "les", "et", "des", "un", "une", "est"),
+    "es": ("el", "los", "de", "y", "que", "en", "se", "por"),
+}
+LANG_ORDER = ("en", "de", "fr", "es")
+
+BPE_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def _hits(tokens: Column, words: tuple) -> Column:
+    return F.size(F.filter(tokens, lambda x: x.isin(*words)))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """(id, pred_lang): argmax stopword votes, ties resolved in
+    LANG_ORDER precedence; zero hits everywhere → 'und'."""
+    toks = tokens_col(text_col)
+    hits = {lang: _hits(toks, ws) for lang, ws in STOPWORDS.items()}
+    en, de, fr, es = (hits[lang] for lang in LANG_ORDER)
+    pred = (F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
+            .when((de >= fr) & (de >= es) & (de > 0), "de")
+            .when((fr >= es) & (fr > 0), "fr")
+            .when(es > 0, "es")
+            .otherwise("und"))
+    return docs.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def quality_stats(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Integer quality features + a boolean gate:
+    (id, n_tokens, n_alpha_tokens, sum_token_chars, stop_hits,
+    quality_ok). quality_ok = 10 ≤ n_tokens ≤ 10000 and mean token
+    length in [3, 12] (integer cross-multiplied — no float)."""
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("^[A-Za-zÀ-ÿ]+$")))
+    sum_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    stop_hits = _hits(toks, STOPWORDS["en"])
+    ok = ((n_tokens >= 10) & (n_tokens <= 10000)
+          & (sum_chars >= 3 * n_tokens) & (sum_chars <= 12 * n_tokens))
+    return docs.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_alpha.cast("long").alias("n_alpha_tokens"),
+        sum_chars.alias("sum_token_chars"),
+        stop_hits.cast("long").alias("stop_hits"),
+        ok.alias("quality_ok"))
+
+
+def token_counts(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(id, n_ws_tokens, n_bpe_tokens): whitespace tokens and BPE-ish
+    subword pieces (letter runs | digit runs | single punct)."""
+    n_ws = F.size(tokens_col(text_col))
+    n_bpe = F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_REGEX), F.lit(0)))
+    return docs.select(F.col(id_col),
+                       n_ws.cast("long").alias("n_ws_tokens"),
+                       n_bpe.cast("long").alias("n_bpe_tokens"))
+
+
+def bottomk_fingerprint(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 4,
+                        w: int = 3) -> DataFrame:
+    """(id, fingerprint): bottom-k sketch — the k smallest 60-bit
+    shingle hashes joined by ':'. Two docs share content ⇔ sketches
+    collide with high probability; groupBy(fingerprint) clusters
+    near-identical docs with ONE uniform-key shuffle. Docs with fewer
+    than w tokens are excluded (no shingles)."""
+    toks = tokens_col(text_col)
+    sh = F.array_distinct(shingles_col(toks, w))
+    hashes = F.array_sort(F.transform(sh, md5_long))
+    fp = F.concat_ws(":", F.slice(hashes, 1, k))
+    return (docs.select(F.col(id_col), sh.alias("__sh"), fp.alias("fingerprint"))
+            .filter(F.size("__sh") > 0)
+            .select(id_col, "fingerprint"))

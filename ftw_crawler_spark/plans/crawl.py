@@ -142,10 +142,15 @@ def _batch_resources(batch: DataFrame, world: dict,
         F.lit("content-type"), F.lit("text/html; charset=utf-8"),
         F.lit("last-modified"),
         F.date_format("__wts", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
-    headers = F.when(
-        F.col("header_overrides").isNotNull(),
-        F.map_concat(base_headers, F.col("header_overrides"))
-    ).otherwise(base_headers)
+    # override-wins merge without duplicate keys (map_concat raises
+    # under the default EXCEPTION dedup policy when a per-url override
+    # re-specifies content-type)
+    ov = F.col("header_overrides")
+    base_kept = F.map_filter(
+        base_headers,
+        lambda k, _: ~F.array_contains(F.map_keys(ov), k))
+    headers = F.when(ov.isNotNull(),
+                     F.map_concat(base_kept, ov)).otherwise(base_headers)
     df = df.withColumn("headers", headers)
     df = df.withColumn(
         "content_type",
