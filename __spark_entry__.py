@@ -722,12 +722,229 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+_IVF_SQL = """
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+  FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, v AS cv, n AS cn
+          FROM vecs WHERE vec_id < 8),
+asgn AS (SELECT v.vec_id, c.centroid_id,
+    row_number() OVER (PARTITION BY v.vec_id
+      ORDER BY list_dot_product(v.v, c.cv) / (v.n * c.cn) DESC,
+               c.centroid_id) AS cr
+  FROM vecs v, cents c),
+lists AS (SELECT vec_id, centroid_id FROM asgn WHERE cr = 1),
+probes AS (SELECT vec_id AS query_id, centroid_id
+           FROM asgn WHERE cr <= 2 AND vec_id < 10),
+cand AS (SELECT p.query_id, l.vec_id AS neighbor_id
+         FROM probes p JOIN lists l USING (centroid_id)
+         WHERE l.vec_id <> p.query_id),
+sims AS (SELECT query_id, neighbor_id,
+    list_dot_product(q.v, nb.v) / (q.n * nb.n) AS sim
+  FROM cand JOIN vecs q ON q.vec_id = cand.query_id
+            JOIN vecs nb ON nb.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims) WHERE rank <= 5
+"""
+
+
+@_q("similarity_ivf_ann", _IVF_SQL)
+def _ivf_ann(spark, sf_dir):
+    """IVF-bucketed ANN: nearest-centroid inverted lists, 2-probe,
+    exact re-rank. Deterministic seed centroids (first 8 vectors) make
+    assignment + probing + ranking fully oracle-checkable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return simi.ivf_ann(emb, query_ids=range(10), k=5,
+                        n_centroids=8, n_probe=2)
+
+
 @_q("similarity_lsh_ann", _lsh_sql())
 def _lsh_ann(spark, sf_dir):
     """Sign-LSH bucketed ANN (the 10^10-row scale path): md5-derived
     hyperplanes make codes + buckets + re-rank fully oracle-checkable."""
     emb = _t(spark, sf_dir, "embeddings")
     return simi.lsh_ann(emb, query_ids=range(10), k=5, n_planes=6)
+
+
+_NEARDUP_SQL = """
+WITH planes AS (
+  SELECT p, j,
+    CASE WHEN ('0x'||substr(md5(p||':'||j),1,15))::BIGINT % 2 = 1
+         THEN 1.0 ELSE -1.0 END AS sgn
+  FROM (SELECT unnest(range(0, 6)) AS p),
+       (SELECT unnest(range(0, 64)) AS j)),
+comps AS (SELECT vec_id, j, embedding[j + 1]::DOUBLE AS v
+          FROM embeddings, (SELECT unnest(range(0, 64)) AS j)),
+proj AS (SELECT vec_id, p, sum(sgn * v) AS s
+         FROM comps JOIN planes USING (j) GROUP BY 1, 2),
+codes AS (SELECT vec_id,
+  string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS code
+  FROM proj GROUP BY vec_id),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+l AS (SELECT c.vec_id AS a, c.code, v.v AS av
+      FROM codes c JOIN vecs v USING (vec_id)),
+r AS (SELECT c.vec_id AS b, c.code, v.v AS bv
+      FROM codes c JOIN vecs v USING (vec_id)),
+pairs AS (SELECT a, b,
+  list_dot_product(av, bv) / (sqrt(list_dot_product(av, av))
+                              * sqrt(list_dot_product(bv, bv))) AS sim
+  FROM l JOIN r USING (code) WHERE a < b)
+SELECT a, b, round(sim, 4) AS sim_r4 FROM pairs
+WHERE round(sim, 6) >= 0.25
+"""
+
+
+@_q("dedup_embedding_cosine", _NEARDUP_SQL)
+def _emb_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup: sign-LSH bucket prune (one shuffle on
+    the code key) + exact-cosine verify at round(sim,6) >= τ. The same
+    LSH is expressed in the oracle, so candidates AND verdicts are
+    bit-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return simi.embedding_neardup_pairs(emb, tau=0.25, n_planes=6)
+
+
+# --- E-family scalar extractors via the REAL engine ------------------------
+
+
+@_q("slug_extract", """
+SELECT doc_id, lower(source) || '-' || doc_id || '-bar' AS slug
+FROM documents
+""")
+def _slug(spark, sf_dir):
+    """E4: SlugExtractor — unquote_plus + slugify of the last path
+    segment (extractors.py:161-177; goldens test_extractors.py:544-598).
+    Input urls are constructed so '+'→space, %20→space, %C3%A4→'ä'→'a'
+    all fire, yet the expected slug has a closed form the oracle states
+    directly."""
+    docs = _t(spark, sf_dir, "documents")
+    seg = F.concat(F.col("source"), F.lit("+"),
+                   F.col("doc_id").cast("string"), F.lit("%20b%C3%A4r"))
+    resources = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://x.example/sec/"), seg).alias("loc"),
+        F.lit(None).cast("string").alias("lastmod"),
+        F.lit(None).cast("string").alias("target"),
+        F.lit(None).cast("binary").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("text/html").alias("content_type"),
+        F.create_map(F.lit("content-type"),
+                     F.lit("text/html")).alias("headers"),
+        F.lit(None).cast("map<string,string>").alias("site_attributes"))
+    fields = [cfg.Field("slug", cfg.SlugExtractor())]
+    return extract_documents(resources,
+                             cfg.CrawlerConfig(sites=[], fields=fields),
+                             CRAWL_TIME, passthrough=("doc_id",))
+
+
+@_q("lastmod_parse", """
+SELECT doc_id,
+  CASE doc_id % 3
+    WHEN 0 THEN ('2020-03-0' || (1 + doc_id % 9))::TIMESTAMP
+    WHEN 1 THEN TIMESTAMP '2021-07-15 08:30:00' - INTERVAL 2 HOUR
+    ELSE TIMESTAMP '2019-12-31 23:59:59'
+  END AS modified
+FROM documents
+""")
+def _lastmod(spark, sf_dir):
+    """E12: LastModifiedExtractor's lenient ISO parse — date-only,
+    +02:00 offset, and Z forms, naive→assume-UTC (utils.py:14-37,
+    extractors.py:330-344; test_utils.py:58-65). The oracle states the
+    expected UTC instants in closed form (no engine tz config in play)."""
+    docs = _t(spark, sf_dir, "documents")
+    lastmod = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("2020-03-0"),
+                        (1 + F.col("doc_id") % 9).cast("string")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.lit("2021-07-15T08:30:00+02:00"))
+        .otherwise(F.lit("2019-12-31T23:59:59Z")))
+    resources = _doc_resources(docs).withColumn("lastmod", lastmod) \
+        .withColumn("headers", F.create_map(
+            F.lit("content-type"), F.lit("text/html; charset=utf-8")))
+    fields = [cfg.Field("modified", cfg.LastModifiedExtractor(),
+                        type_=datetime, required=True)]
+    return extract_documents(resources,
+                             cfg.CrawlerConfig(sites=[], fields=fields),
+                             CRAWL_TIME, passthrough=("doc_id",))
+
+
+@_q("header_mapping", """
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'HTML page'
+                  WHEN 1 THEN 'PDF document'
+                  ELSE 'other format' END AS doc_format
+FROM documents
+""")
+def _header_mapping(spark, sf_dir):
+    """E17: HeaderMappingExtractor — header value, charset-stripped,
+    through a mapping dict with default (extractors.py:416-442)."""
+    docs = _t(spark, sf_dir, "documents")
+    ct = (F.when(F.col("doc_id") % 3 == 0,
+                 F.lit("text/html; charset=utf-8"))
+          .when(F.col("doc_id") % 3 == 1, F.lit("application/pdf"))
+          .otherwise(F.lit("application/zip")))
+    resources = _doc_resources(docs).withColumn(
+        "headers", F.create_map(F.lit("content-type"), ct))
+    fields = [cfg.Field("doc_format", cfg.HeaderMappingExtractor(
+        "content-type",
+        {"text/html": "HTML page", "application/pdf": "PDF document"},
+        default="other format"))]
+    return extract_documents(resources,
+                             cfg.CrawlerConfig(sites=[], fields=fields),
+                             CRAWL_TIME, passthrough=("doc_id",))
+
+
+@_q("sitemap_parse_roundtrip", """
+SELECT source,
+  row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS url_ord,
+  'https://corpus.example.org/' || source || '/doc-' || doc_id AS loc,
+  CASE WHEN doc_id % 5 = 0 THEN 'daily' END AS changefreq
+FROM documents
+""")
+def _sitemap_roundtrip(spark, sf_dir):
+    """S3/S4: render namespaced <urlset> XML per source group (gzipped
+    for half the groups), parse with the engine's executor-side
+    parse_urlset_udf, posexplode back — document order (url_ord) and
+    optional-property absence must round-trip exactly
+    (sitemap.py:206-219, utils.py:69-86)."""
+    import gzip as _gz
+
+    from ftw_crawler_spark.operators.sitemaps import parse_urlset_udf
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        src = pdf["source"].iloc[0]
+        parts = []
+        for did in pdf["doc_id"]:
+            cf = ("\n    <changefreq>daily</changefreq>"
+                  if did % 5 == 0 else "")
+            parts.append(
+                f"  <url>\n    <loc>https://corpus.example.org/{src}"
+                f"/doc-{did}</loc>{cf}\n  </url>")
+        xml = ('<?xml version="1.0" encoding="UTF-8"?>\n<urlset '
+               'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+               + "\n".join(parts) + "\n</urlset>").encode()
+        gz = int(src[-1]) % 2 == 0 if src[-1].isdigit() else False
+        if gz:
+            xml = _gz.compress(xml, compresslevel=1)
+        return pd.DataFrame([{"source": src, "gz": gz, "xml": xml}])
+
+    rendered = docs.groupBy("source").applyInPandas(
+        render, "source string, gz boolean, xml binary")
+    parsed = rendered.select(
+        "source", parse_urlset_udf(F.col("xml"), F.col("gz"))
+        .alias("entries"))
+    return (parsed.select(
+        "source", F.posexplode("entries").alias("url_ord", "e"))
+        .select("source", F.col("url_ord").cast("long").alias("url_ord"),
+                F.col("e.loc").alias("loc"),
+                F.col("e.changefreq").alias("changefreq")))
 
 
 # --- multimodal -------------------------------------------------------------
@@ -748,6 +965,19 @@ def _blob_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("blob"))
     return multimodal.blob_meta(docs)
+
+
+@_q("multimodal_frame_sample", """
+SELECT doc_id, k::BIGINT AS frame_idx, md5(k || ':' || text) AS frame_hash
+FROM documents, (SELECT unnest(range(0, 3)) AS k)
+""")
+def _frame_sample(spark, sf_dir):
+    """Video-frame-sampling plumbing: 1 binary row → n_frames rows via
+    mapInPandas (Arrow batches, no shuffle); deterministic fake codec
+    (md5 of frame index + blob) keeps it oracle-exact."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob"))
+    return multimodal.frame_sample(docs, n_frames=3)
 
 
 # --- crawl end-to-end (rows-only) ------------------------------------------

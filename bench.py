@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + SURVEY.md §7 M6).
+
+Runs every ``__spark_entry__.queries()`` entry at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and, as the headline number, the full
+crawl→extract→index pipeline over a deterministic synthetic world
+sized to the same scale factor — reporting URLs crawled+extracted/sec
+(the BASELINE.json metric).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "crawl": {"urls": n, "sec": t, "urls_per_sec": r}, "cpus": N}
+
+Timing notes: each query is materialized with the no-op sink
+(``format("noop")``) so we measure the full plan execution without
+driver-side collect. World generation is excluded from crawl timing
+(the world is cached under /tmp keyed by size).
+
+Scaling evidence (north rule, N vs 4N executors — in-sandbox as
+local[8] vs local[32]): run ``python tools/bench_scaling.py``, which
+invokes this file's crawl stage at both parallelism levels in fresh
+JVMs and reports throughput at each plus efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from datetime import datetime
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CRAWL_TIME = datetime(2026, 1, 15, 12, 0, 0)
+
+
+def _sf_of(sf_dir: str) -> float:
+    tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return float(tail)
+    except ValueError:
+        return 0.1
+
+
+def _ensure_world(spark, n_urls: int) -> str:
+    from ftw_crawler_spark.sources.synth import generate_world
+    world = f"/tmp/ftw_bench_world_{n_urls}"
+    marker = os.path.join(world, "_READY")
+    if not os.path.exists(marker):
+        if os.path.isdir(world):
+            shutil.rmtree(world)
+        generate_world(spark, world, n_urls=n_urls)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return world
+
+
+def bench_crawl(spark, sf: float, n_urls: int | None = None) -> dict:
+    """Headline: full pipeline throughput, world-gen excluded."""
+    from ftw_crawler_spark.plans.crawl import run_crawl
+    n_urls = n_urls or max(2_000, int(200_000 * sf))
+    world = _ensure_world(spark, n_urls)
+    out = tempfile.mkdtemp(prefix="ftw_bench_crawl_")
+    try:
+        t0 = time.perf_counter()
+        result = run_crawl(spark, world, out, crawl_time=CRAWL_TIME)
+        # force the sink's final state so lazy tails are included
+        n_indexed = result.index().count()
+        sec = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    urls = sum(m.get("indexed", 0) for m in result.metrics
+               if isinstance(m.get("indexed"), int))
+    return {"urls": urls, "indexed_total": n_indexed,
+            "sec": round(sec, 3),
+            "urls_per_sec": round(urls / sec, 2) if sec > 0 else 0.0,
+            "n_urls_world": n_urls, "batches": result.batches}
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    only_crawl = os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "crawl"
+    sf = _sf_of(sf_dir)
+
+    from ftw_crawler_spark.session import get_spark
+    spark = get_spark("ftw-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10_000).select("id").groupBy().sum().collect()  # JVM warm
+
+    import __spark_entry__ as entry_mod
+
+    per_query: dict[str, float] = {}
+    if not only_crawl:
+        for name, fn in entry_mod.queries().items():
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            per_query[name] = round(time.perf_counter() - t0, 3)
+
+    n_urls_env = os.environ.get("SPARK_GRAFT_N_URLS")
+    crawl = bench_crawl(spark, sf,
+                        n_urls=int(n_urls_env) if n_urls_env else None)
+    per_query["crawl_pipeline"] = crawl["sec"]
+
+    total = round(sum(per_query.values()), 3)
+    line = {
+        "metric": "urls_crawled_extracted_per_sec",
+        "value": crawl["urls_per_sec"],
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "suite_seconds": total,
+        "crawl": crawl,
+        "cpus": cpus,
+    }
+    print(json.dumps(line))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -53,14 +53,27 @@ def _positions(h1: np.ndarray, h2: np.ndarray, k: int,
     return idx
 
 
+def bloom_shape(bloom_bytes: bytes) -> tuple:
+    """(n_bits, k) of a serialized filter."""
+    assert bloom_bytes[:4] == _MAGIC
+    return struct.unpack("<QI", bloom_bytes[4:16])
+
+
 def build_url_bloom(df: DataFrame, url_col: str = "url",
                     expected_items: int | None = None,
-                    fpp: float = 0.03) -> bytes | None:
+                    fpp: float = 0.03,
+                    shape: tuple | None = None) -> bytes | None:
     """One-pass distributed build. Returns serialized filter
-    (header: magic, n_bits, k) or None for an empty relation."""
-    if expected_items is None:
-        expected_items = max(1024, df.count())
-    n_bits, k = _params(expected_items, fpp)
+    (header: magic, n_bits, k) or None for an empty relation.
+
+    ``shape=(n_bits, k)`` pins the geometry so the result is OR-merge
+    compatible with an existing filter (incremental per-batch deltas)."""
+    if shape is not None:
+        n_bits, k = shape
+    else:
+        if expected_items is None:
+            expected_items = max(1024, df.count())
+        n_bits, k = _params(expected_items, fpp)
     hashes = df.select(
         F.xxhash64(F.col(url_col)).alias("h1"),
         F.xxhash64(F.col(url_col), F.lit(0x5EED)).alias("h2"))

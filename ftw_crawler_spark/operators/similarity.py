@@ -108,6 +108,93 @@ def lsh_codes(df: DataFrame, n_planes: int = DEFAULT_PLANES,
                      F.concat(*bits).alias("code"))
 
 
+def ivf_ann(corpus: DataFrame, query_ids, k: int = 5,
+            n_centroids: int = 8, n_probe: int = 2,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN: corpus rows are assigned to their nearest centroid
+    (inverted lists); each query probes its ``n_probe`` nearest lists
+    and re-ranks candidates by exact cosine.
+
+    Centroids are the first ``n_centroids`` corpus vectors (a
+    deterministic seeding — production would run k-means refinement,
+    which only changes the centroid table, not this plan shape). The
+    centroid table is tiny and broadcast twice (assignment +
+    probe); the only shuffle is the candidate equi-join on
+    ``centroid_id`` — same bucket-join shape as LSH, with list sizes
+    ~N/n_centroids instead of N/2^planes.
+
+    Returns (query_id, neighbor_id, rank).
+    """
+    cents = (with_norm(corpus.filter(F.col(id_col) < n_centroids), vec_col)
+             .select(F.col(id_col).alias("centroid_id"),
+                     F.col("__v").alias("cv"), F.col("__norm").alias("cn")))
+
+    def assign(df: DataFrame, topn: int, out: str) -> DataFrame:
+        """nearest-centroid ids by cosine; ties break on centroid_id."""
+        sim = _dot(F.col("__v"), F.col("cv")) / (F.col("__norm")
+                                                 * F.col("cn"))
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("__csim"), F.asc("centroid_id"))
+        return (df.crossJoin(F.broadcast(cents))
+                .withColumn("__csim", sim)
+                .withColumn("__crank", F.row_number().over(w))
+                .filter(F.col("__crank") <= topn)
+                .select(F.col(id_col), F.col("__v"), F.col("__norm"),
+                        F.col("centroid_id").alias(out)))
+
+    normed = with_norm(corpus, vec_col).select(id_col, "__v", "__norm")
+    lists = assign(normed, 1, "centroid_id")
+    probes = assign(normed.filter(F.col(id_col).isin(list(query_ids))),
+                    n_probe, "centroid_id")
+
+    q = probes.select(F.col(id_col).alias("query_id"), "centroid_id",
+                      F.col("__v").alias("qv"), F.col("__norm").alias("qn"))
+    c = lists.select(F.col(id_col).alias("neighbor_id"), "centroid_id",
+                     F.col("__v").alias("nv"), F.col("__norm").alias("nn"))
+    sim = _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id"))
+    # each corpus row lives in exactly one inverted list, so a
+    # (query, neighbor) pair joins at most once — no dedup needed
+    return (c.join(F.broadcast(q), "centroid_id")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("sim", sim)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+def embedding_neardup_pairs(corpus: DataFrame, tau: float = 0.25,
+                            n_planes: int = DEFAULT_PLANES,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup detection (training-data pipeline op):
+    candidate pairs share a sign-LSH bucket (one shuffle on ``code``),
+    then exact-cosine verify at ``round(sim, 6) >= tau`` — the rounding
+    pins the threshold comparison across engines so the whole operator
+    is oracle-checkable. Returns (a, b, sim_r4) with a < b.
+
+    At 10^10 rows the bucket join bounds the pair candidates to
+    intra-bucket O(Σ b_i²); raise ``n_planes`` to halve bucket sizes
+    per extra plane (same knob as MinHash LSH band width)."""
+    coded = lsh_codes(corpus, n_planes, id_col, vec_col)
+    coded = coded.withColumn(
+        "__norm", F.sqrt(_dot(F.col("__v"), F.col("__v"))))
+    left = coded.select(F.col("vid").alias("a"), "code",
+                        F.col("__v").alias("av"),
+                        F.col("__norm").alias("an"))
+    right = coded.select(F.col("vid").alias("b"), "code",
+                         F.col("__v").alias("bv"),
+                         F.col("__norm").alias("bn"))
+    sim = _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+    return (left.join(right, "code")
+            .filter(F.col("a") < F.col("b"))
+            .withColumn("sim", sim)
+            .filter(F.round("sim", 6) >= tau)
+            .select("a", "b", F.round("sim", 4).alias("sim_r4")))
+
+
 def lsh_ann(corpus: DataFrame, query_ids, k: int = 5,
             n_planes: int = DEFAULT_PLANES, id_col: str = "vec_id",
             vec_col: str = "embedding") -> DataFrame:

@@ -442,14 +442,20 @@ def build_preexisting_index(entries: DataFrame, pages: DataFrame,
 def build_fetch_status(entries: DataFrame, seed: int) -> DataFrame:
     """Simulated HTTP specials (FIXTURES.md §5): 404s (pmod 96), 301
     redirects (pmod 98), 429 bursts (pmod 95 → n_429 retries), plus
-    fixed header-override rows for the edge pages."""
+    fixed header-override rows for the edge pages.
+
+    Repeat-429s (n_429=2) are kept RARE (~0.02% of urls): each one
+    permanently doubles the host's politeness sleeptime (reference
+    fetcher.py:60-66), so a dense repeat-429 population would collapse
+    per-host capacity to 1 url/batch — the reference itself would
+    sleep for 2^k·0.1 s and effectively hang on such a world."""
     h = F.pmod(F.abs(F.xxhash64("loc", F.lit(seed + 7))), F.lit(100))
+    h2 = F.pmod(F.abs(F.xxhash64("loc", F.lit(seed + 9))), F.lit(50))
     base = entries.dropDuplicates(["loc"]).select(
         F.col("loc").alias("url"),
         F.when(h == 96, 404).when(h == 98, 301).otherwise(200)
         .alias("status"),
-        F.when(h == 95, (F.pmod(F.abs(F.xxhash64("loc", F.lit(seed + 9))),
-                                F.lit(2)) + 1).cast("int"))
+        F.when(h == 95, F.when(h2 == 0, 2).otherwise(1).cast("int"))
         .otherwise(0).alias("n_429"),
         F.lit(None).cast("map<string,string>").alias("headers"),
     ).filter((F.col("status") != 200) | (F.col("n_429") > 0))

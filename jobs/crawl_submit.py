@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the crawl pipeline (north rule: "run via
+spark-submit --py-files on a multi-executor cluster").
+
+Packaging:
+    python tools/make_pyfiles.py            # → dist/ftw_crawler_spark.zip
+    spark-submit --master <master> \\
+        --py-files dist/ftw_crawler_spark.zip \\
+        jobs/crawl_submit.py --world <world_dir> --out <out_dir>
+
+The job carries NO hard-coded master/parallelism — spark-submit owns
+cluster sizing, which is how the N vs 4N scaling runs are driven
+(tools/bench_scaling.py uses local[8] / local[32] in this sandbox).
+
+Exit: prints one JSON line with batches, per-batch metrics and the
+final index row count. Re-running with the same --out resumes from the
+last committed checkpoint (idempotent upsert sink).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from datetime import datetime
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="ftw-crawler-spark crawl job")
+    p.add_argument("--world", required=True,
+                   help="synthetic-world dir (pages/sitemaps/index0/...)")
+    p.add_argument("--out", required=True,
+                   help="output dir (index sink + checkpoints)")
+    p.add_argument("--url", default=None,
+                   help="single-URL mode (reference bin/crawl <URL>)")
+    p.add_argument("--force", action="store_true",
+                   help="bypass is_modified gate (reference -f/--force)")
+    p.add_argument("--batch-seconds", type=float, default=600.0)
+    p.add_argument("--max-batches", type=int, default=None)
+    p.add_argument("--crawl-time", default="2026-01-15T12:00:00",
+                   help="injected crawl timestamp (determinism/resume)")
+    p.add_argument("--no-resume", action="store_true")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from ftw_crawler_spark.plans.crawl import run_crawl
+
+    spark = (SparkSession.builder.appName("ftw-crawler-spark")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+             .getOrCreate())
+    result = run_crawl(
+        spark, args.world, args.out,
+        crawl_time=datetime.fromisoformat(args.crawl_time),
+        batch_seconds=args.batch_seconds, url=args.url,
+        force=args.force, max_batches=args.max_batches,
+        resume=not args.no_resume)
+    n_indexed = result.index().count()
+    print(json.dumps({"batches": result.batches,
+                      "indexed_rows": n_indexed,
+                      "metrics": result.metrics}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

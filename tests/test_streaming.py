@@ -1,0 +1,87 @@
+"""Structured-Streaming frontier ingestion: deltas arriving as files →
+micro-batches → upsert sink, with seen-filtering across batches and
+byte-identical extracted text."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftw_crawler_spark.plans.crawl import sites_df
+from ftw_crawler_spark.sources.synth import default_sites
+from ftw_crawler_spark.streaming.frontier_stream import FrontierStream
+
+
+@pytest.fixture(scope="module")
+def frontier(spark, tiny_world):
+    from ftw_crawler_spark.operators.sitemaps import build_frontier
+    sm = spark.read.parquet(f"{tiny_world}/sitemaps.parquet")
+    f = build_frontier(spark, default_sites(), sm)
+    return f.select("site_id", "loc", "lastmod", "changefreq",
+                    "priority", "target", "crawl_seq").cache()
+
+
+@pytest.fixture(scope="module")
+def stream_run(spark, tiny_world, frontier, tmp_path_factory):
+    delta_dir = str(tmp_path_factory.mktemp("frontier_deltas"))
+    out_dir = str(tmp_path_factory.mktemp("stream_out"))
+
+    half = frontier.filter(F.col("crawl_seq") % 2 == 0)
+    rest_plus_overlap = frontier  # includes ALL rows → overlap with half
+
+    fs = FrontierStream(spark, tiny_world, out_dir)
+
+    # first wave of deltas (file source watches the root dir)
+    half.write.mode("append").parquet(delta_dir)
+    fs.run_available(delta_dir)
+    first_count = fs.index().count()
+
+    # second wave: full frontier again (overlap must be seen-filtered)
+    rest_plus_overlap.write.mode("append").parquet(delta_dir)
+    fs.run_available(delta_dir)
+    return fs, first_count
+
+
+def test_stream_indexes_first_wave(stream_run, frontier, spark,
+                                   tiny_world):
+    fs, first_count = stream_run
+    pages = spark.read.parquet(f"{tiny_world}/pages.parquet")
+    half_backed = (frontier.filter(F.col("crawl_seq") % 2 == 0)
+                   .join(pages.select(F.col("url").alias("loc")),
+                         "loc", "left_semi").select("loc").distinct())
+    assert first_count == half_backed.count()
+
+
+def test_stream_no_duplicates_after_overlap(stream_run, frontier, spark,
+                                            tiny_world):
+    fs, _ = stream_run
+    idx = fs.index()
+    assert idx.groupBy("url").count().filter(F.col("count") > 1) \
+        .count() == 0
+    pages = spark.read.parquet(f"{tiny_world}/pages.parquet")
+    all_backed = (frontier.join(pages.select(F.col("url").alias("loc")),
+                                "loc", "left_semi")
+                  .select("loc").distinct())
+    assert idx.count() == all_backed.count()
+
+
+def test_stream_text_byte_identical(stream_run, spark, tiny_world):
+    fs, _ = stream_run
+    pages = spark.read.parquet(f"{tiny_world}/pages.parquet")
+    joined = (fs.index().select("url", "SearchableText")
+              .join(pages.select("url", "text"), "url"))
+    from ftw_crawler_spark.functions.scalars import normalize_whitespace
+    rows = joined.collect()
+    assert rows
+    for r in rows:
+        assert r["SearchableText"] == normalize_whitespace(r["text"])
+
+
+def test_stream_index_has_uid_and_order(stream_run):
+    fs, _ = stream_run
+    idx = fs.index()
+    assert idx.filter(F.col("UID").isNull()).count() == 0
+    # op_seq = crawl_seq lineage survives into the sink
+    assert idx.filter(F.col("op_seq") < 0).count() == 0
