@@ -246,6 +246,31 @@ def _politeness(spark, sf_dir):
             .select("user_id", "event_id", "slot"))
 
 
+@_q("priority_frontier_budget", """
+SELECT CAST(user_id AS VARCHAR) AS host, event_id AS crawl_seq
+FROM (SELECT user_id, event_id,
+        row_number() OVER (PARTITION BY user_id
+                           ORDER BY value DESC NULLS LAST, event_id) AS rn
+      FROM events) WHERE rn <= 3
+""")
+def _priority_budget(spark, sf_dir):
+    """North-rule priority frontier queue: the REAL politeness scheduler
+    in order_mode='priority' — per-host budget admits highest-priority
+    rows first (desc nulls last, crawl_seq tiebreak). capacity = 3 via
+    batch_seconds=3 / sleeptime=1."""
+    from ftw_crawler_spark.operators.politeness import select_batch
+    e = _t(spark, sf_dir, "events")
+    frontier = e.select(
+        F.col("user_id").cast("string").alias("host"),
+        F.col("event_id").alias("crawl_seq"),
+        F.col("value").cast("string").alias("priority"))
+    host_state = frontier.select("host").distinct() \
+        .withColumn("sleeptime", F.lit(1.0))
+    return (select_batch(frontier, host_state, 3.0,
+                         order_mode="priority")
+            .select("host", "crawl_seq"))
+
+
 @_q("host_counts_salted", """
 SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
 """)
@@ -945,6 +970,96 @@ def _sitemap_roundtrip(spark, sf_dir):
         .select("source", F.col("url_ord").cast("long").alias("url_ord"),
                 F.col("e.loc").alias("loc"),
                 F.col("e.changefreq").alias("changefreq")))
+
+
+@_q("upsert_merge_lww", """
+WITH base AS (
+  SELECT md5(doc_id::VARCHAR) AS "UID", doc_id,
+         'v0-' || doc_id AS title, 0 AS op_seq, false AS is_delete
+  FROM documents),
+tomb AS (
+  SELECT md5(doc_id::VARCHAR) AS "UID", doc_id,
+         NULL AS title, 1 AS op_seq, true AS is_delete
+  FROM documents WHERE doc_id % 5 = 0),
+delta AS (
+  SELECT md5(doc_id::VARCHAR) AS "UID", doc_id,
+         'v1-' || doc_id AS title, 2 AS op_seq, false AS is_delete
+  FROM documents WHERE doc_id % 3 = 0),
+log AS (SELECT * FROM base UNION ALL SELECT * FROM tomb
+        UNION ALL SELECT * FROM delta),
+resolved AS (
+  SELECT *, row_number() OVER (PARTITION BY "UID"
+                               ORDER BY op_seq DESC) AS rn
+  FROM log)
+SELECT "UID", doc_id, title FROM resolved
+WHERE rn = 1 AND NOT is_delete
+""")
+def _upsert_merge(spark, sf_dir):
+    """S8/S9: the index sink's upsert-by-UID semantics — an append-only
+    log of versions + tombstones resolved last-writer-wins on read (the
+    Iceberg MERGE INTO fallback, indexsink.py + SURVEY §4.3) — through
+    the REAL IndexSink. Ordering matches the crawl: base snapshot
+    (op_seq -2) < purge tombstones (-1) < crawl upserts (crawl_seq ≥ 0),
+    so a purged-then-recrawled UID survives with its new version."""
+    import tempfile
+
+    from ftw_crawler_spark.operators.indexsink import IndexSink
+
+    docs = _t(spark, sf_dir, "documents")
+    uid = F.md5(F.col("doc_id").cast("string")).alias("UID")
+    base = docs.select(uid, "doc_id",
+                       F.concat(F.lit("v0-"), F.col("doc_id").cast(
+                           "string")).alias("title"))
+    delta = (docs.filter(F.col("doc_id") % 3 == 0)
+             .select(uid, "doc_id",
+                     F.concat(F.lit("v1-"), F.col("doc_id").cast(
+                         "string")).alias("title"))
+             .withColumn("op_seq", F.lit(1).cast("long")))
+    tomb = docs.filter(F.col("doc_id") % 5 == 0).select(uid)
+
+    root = tempfile.mkdtemp(prefix="ftw_sink_q_")
+    sink = IndexSink(spark, root)
+    sink.write_base(base)                    # op_seq -2
+    sink.append_deletes(tomb, batch_id=0)    # op_seq -1 (purge phase)
+    sink.append_upserts(delta, batch_id=1)   # op_seq  1 (crawl phase)
+    return sink.current().select("UID", "doc_id", "title")
+
+
+@_q("robots_gate", """
+WITH paths AS (
+  SELECT doc_id, '/' || source || '/doc-' || doc_id AS path
+  FROM documents),
+rules(allow, prefix) AS (VALUES
+  (false, '/src1/'), (true, '/src1/doc-1'), (false, '/src3/doc-2')),
+m AS (
+  SELECT p.doc_id, r.allow,
+    row_number() OVER (PARTITION BY p.doc_id
+                       ORDER BY length(r.prefix) DESC, r.allow DESC) AS rn
+  FROM paths p JOIN rules r ON starts_with(p.path, r.prefix))
+SELECT p.doc_id,
+  coalesce((SELECT allow FROM m WHERE m.doc_id = p.doc_id AND rn = 1),
+           true) AS robots_allowed
+FROM paths p
+""")
+def _robots_gate(spark, sf_dir):
+    """robots.txt gating (north rule): per-host rules parsed once,
+    longest-prefix match with allow-wins ties evaluated as pure column
+    expressions over the broadcast rules array (RFC 9309 §2.2.2,
+    sans wildcards)."""
+    from ftw_crawler_spark.operators.robots import (apply_robots,
+                                                    robots_rules)
+    body = ("User-agent: *\nDisallow: /src1/\nAllow: /src1/doc-1\n"
+            "Disallow: /src3/doc-2\n").encode()
+    robots = spark.createDataFrame([("corpus.example.org", body)],
+                                   "host string, robots_txt binary")
+    docs = _t(spark, sf_dir, "documents")
+    frontier = docs.select(
+        "doc_id", F.lit("corpus.example.org").alias("host"),
+        F.concat(F.lit("https://corpus.example.org/"), F.col("source"),
+                 F.lit("/doc-"), F.col("doc_id").cast("string"))
+        .alias("loc"))
+    return (apply_robots(frontier, robots_rules(robots))
+            .select("doc_id", "robots_allowed"))
 
 
 # --- multimodal -------------------------------------------------------------

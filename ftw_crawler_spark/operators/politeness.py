@@ -41,12 +41,28 @@ def initial_host_state(frontier: DataFrame, sites: DataFrame) -> DataFrame:
 
 
 def select_batch(remaining: DataFrame, host_state: DataFrame,
-                 batch_seconds: float) -> DataFrame:
+                 batch_seconds: float,
+                 order_mode: str = "reference") -> DataFrame:
     """Rows admitted to the next micro-batch under per-host budgets.
 
     capacity(host) = max(1, floor(batch_seconds / sleeptime));
-    admitted = per-host lowest crawl_seq ranks ≤ capacity."""
-    w = Window.partitionBy("host").orderBy("crawl_seq")
+    admitted = per-host top ranks ≤ capacity.
+
+    ``order_mode``:
+    - "reference": lowest crawl_seq first — reproduces the reference's
+      single-threaded nested-loop order exactly (the correctness-gate
+      mode; main.py:75,107,113).
+    - "priority": sitemap <priority> first (desc, nulls last), then
+      crawl_seq — the priority-frontier-queue mode of the north rule;
+      still a pure function of the frontier, so equally deterministic
+      and resumable.
+    """
+    if order_mode == "priority":
+        order = [F.desc_nulls_last(F.col("priority").cast("double")),
+                 F.asc("crawl_seq")]
+    else:
+        order = [F.asc("crawl_seq")]
+    w = Window.partitionBy("host").orderBy(*order)
     ranked = (remaining
               .join(F.broadcast(host_state), "host", "left")
               .withColumn("__sleep", F.coalesce(F.col("sleeptime"),

@@ -1,0 +1,128 @@
+"""robots.txt gating for the frontier (north-rule component: "per-host
+politeness buckets with robots.txt gating").
+
+The reference crawler never fetches robots.txt (its sites are its own —
+/root/reference/ftw/crawler/fetcher.py has no robots handling), but a
+Common-Crawl-scale frontier scheduler must gate fetches on the robots
+exclusion protocol. Semantics implemented (the de-facto REP standard,
+RFC 9309 §2.2.2 without wildcards): within the ``User-agent: *`` group,
+the rule with the LONGEST matching path prefix wins; at equal length
+``Allow`` beats ``Disallow``; no matching rule ⇒ allowed; no robots.txt
+for the host ⇒ allowed.
+
+Scale shape: robots bodies are per-HOST (one row per host — millions of
+rows at web scale, but KBs each and reusable across the host's URLs),
+parsed ONCE into a rules array, and the gate itself is pure Column
+expressions over the broadcast-joined rules array (whole-stage codegen,
+no Python in the per-URL path). The parse is an Arrow pandas UDF over
+the tiny per-host table.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+RULES_TYPE = T.ArrayType(T.StructType([
+    T.StructField("allow", T.BooleanType()),
+    T.StructField("prefix", T.StringType()),
+]))
+
+
+def parse_robots_txt(text: str) -> list:
+    """Parse a robots.txt body into [(allow, prefix), ...] for the
+    ``User-agent: *`` group. Shared by the Spark parse UDF and the
+    plain-Python test oracle.
+
+    Grouping per RFC 9309 §2.1: consecutive User-agent lines open a
+    group; rules attach to the open group; only groups containing
+    ``*`` apply here. Empty Disallow ("Disallow:") means allow-all and
+    contributes no rule.
+    """
+    rules: list = []
+    active = False          # current group applies to *
+    in_agents = True        # currently reading a User-agent run
+    agents: list = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not in_agents:
+                agents = []
+                in_agents = True
+            agents.append(value)
+            active = "*" in agents
+        elif key in ("allow", "disallow"):
+            in_agents = False
+            if active and value:
+                rules.append((key == "allow", value))
+        else:
+            in_agents = False
+    return rules
+
+
+def is_path_allowed(path: str, rules: list) -> bool:
+    """Longest-prefix match; ties → allow. Oracle-side evaluator."""
+    best_len = -1
+    best_allow = True
+    for allow, prefix in rules:
+        if path.startswith(prefix):
+            ln = len(prefix)
+            if ln > best_len or (ln == best_len and allow):
+                best_len = ln
+                best_allow = allow
+    return best_allow
+
+
+@F.pandas_udf(RULES_TYPE)
+def parse_robots_udf(body: pd.Series) -> pd.Series:
+    return pd.Series([
+        parse_robots_txt(bytes(b).decode("utf-8", errors="replace"))
+        if b is not None else []
+        for b in body])
+
+
+def robots_rules(robots: DataFrame, host_col: str = "host",
+                 body_col: str = "robots_txt") -> DataFrame:
+    """(host, rules) — parse each host's robots body once."""
+    return robots.select(
+        F.col(host_col).alias("host"),
+        parse_robots_udf(F.col(body_col)).alias("__robots_rules"))
+
+
+def allowed_col(rules: Column, path: Column) -> Column:
+    """Pure-expression longest-prefix-match evaluation.
+
+    ``array_max`` over struct(prefix_len, allow) implements "longest
+    prefix wins, allow beats disallow on ties" because struct comparison
+    is lexicographic and false < true. NULL rules (host absent from the
+    robots table) ⇒ allowed.
+    """
+    matched = F.filter(rules, lambda r: path.startswith(r["prefix"]))
+    best = F.array_max(F.transform(
+        matched, lambda r: F.struct(F.length(r["prefix"]).alias("l"),
+                                    r["allow"].alias("allow"))))
+    return F.coalesce(best["allow"], F.lit(True))
+
+
+def apply_robots(frontier: DataFrame, rules: DataFrame,
+                 url_col: str = "loc") -> DataFrame:
+    """Broadcast-join per-host rules and mark each frontier row with
+    ``robots_allowed``. The join key is the already-computed ``host``
+    column; the path is extracted with a regex (NOT ``parse_url``,
+    whose Java-URI parser yields NULL for unescaped non-ASCII urls —
+    the python-side oracle uses ``urlparse``, which doesn't)."""
+    path = F.regexp_extract(
+        F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    out = frontier.join(F.broadcast(rules), "host", "left")
+    return (out.withColumn(
+        "robots_allowed",
+        allowed_col(F.col("__robots_rules"), path))
+        .drop("__robots_rules"))

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass, field
 from datetime import datetime
 
@@ -45,7 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ftw_crawler_spark import config as cfg
-from ftw_crawler_spark.operators import politeness, seen
+from ftw_crawler_spark.operators import politeness, robots, seen
 from ftw_crawler_spark.operators.extraction import extract_documents
 from ftw_crawler_spark.operators.incremental import (
     is_modified_col, purge_candidates, with_last_indexed)
@@ -82,13 +83,17 @@ def sites_df(spark: SparkSession, sites: list) -> DataFrame:
 
 
 def _load_world(spark: SparkSession, world_dir: str) -> dict:
-    return {
+    world = {
         "sitemaps": spark.read.parquet(f"{world_dir}/sitemaps.parquet"),
         "pages": spark.read.parquet(f"{world_dir}/pages.parquet"),
         "index0": spark.read.parquet(f"{world_dir}/index0.parquet"),
         "fetch_status": spark.read.parquet(
             f"{world_dir}/fetch_status.parquet"),
     }
+    robots_path = f"{world_dir}/robots.parquet"
+    world["robots"] = (spark.read.parquet(robots_path)
+                       if os.path.exists(robots_path) else None)
+    return world
 
 
 def _annotate_frontier(frontier: DataFrame, world: dict,
@@ -106,6 +111,15 @@ def _annotate_frontier(frontier: DataFrame, world: dict,
     df = df.withColumn("status", F.coalesce(F.col("status"), F.lit(200)))
     df = df.withColumn("n_429", F.coalesce(F.col("n_429"), F.lit(0)))
 
+    # robots gate (north rule): broadcast per-host rules, pure-column
+    # longest-prefix evaluation; checked BEFORE any fetch-dependent
+    # logic (a compliant crawler never fetches a disallowed path)
+    if world.get("robots") is not None:
+        rules = robots.robots_rules(world["robots"])
+        df = robots.apply_robots(df, rules, "loc")
+    else:
+        df = df.withColumn("robots_allowed", F.lit(True))
+
     if index_current is not None:
         # bloom prune: urls surely not indexed skip the exact join
         bloom = seen.build_url_bloom(index_current.select("url"), "url")
@@ -120,7 +134,9 @@ def _annotate_frontier(frontier: DataFrame, world: dict,
     modified = is_modified_col(force)
     page_found = F.col("warc_ts").isNotNull()
     skip = (
-        F.when(~modified, F.lit("not_modified"))           # fetcher.py:50-51
+        F.when(~F.col("robots_allowed"),
+               F.lit("robots_disallowed"))                 # RFC 9309 gate
+        .when(~modified, F.lit("not_modified"))            # fetcher.py:50-51
         .when(F.col("status").between(300, 399),
               F.lit("redirect"))                           # fetcher.py:54-58
         .when((F.col("status") != 200) | ~page_found,
@@ -168,7 +184,8 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
               batch_seconds: float = 600.0,
               url: str | None = None, force: bool = False,
               max_batches: int | None = None,
-              resume: bool = True) -> CrawlResult:
+              resume: bool = True,
+              order_mode: str = "reference") -> CrawlResult:
     sites = sites if sites is not None else default_sites()
     config = config or cfg.default_config()
     world = _load_world(spark, world_dir)
@@ -203,6 +220,7 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
         metrics = []
         start_batch = 0
 
+        t0 = time.perf_counter()
         sink.write_base(world["index0"])
         sdf = sites_df(spark, sites)
 
@@ -212,6 +230,7 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
         # single-URL mode (main.py:102 runs before the URL filter)
         purged = purge_candidates(sink.current(), sdf, frontier)
         sink.append_deletes(purged, batch_id=start_batch)
+        t_purge = time.perf_counter()
 
         if url:
             frontier = frontier.filter(F.col("loc") == url)  # F2
@@ -225,7 +244,11 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                  .groupBy("skip_reason").count()
                  .withColumnRenamed("count", "n").collect()}
         metrics.append({"batch": -1, "event": "plan",
-                        "skips": skips})
+                        "skips": skips,
+                        "sec_frontier_purge":
+                        round(t_purge - t0, 3),
+                        "sec_annotate":
+                        round(time.perf_counter() - t_purge, 3)})
 
         remaining = to_crawl
         host_state = politeness.initial_host_state(remaining, sdf)
@@ -239,15 +262,23 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
     while True:
         if max_batches is not None and n_batches >= max_batches:
             break
-        if remaining.limit(1).count() == 0:
-            break
+        t0 = time.perf_counter()
         batch = politeness.select_batch(remaining, host_state,
-                                        batch_seconds).cache()
+                                        batch_seconds,
+                                        order_mode=order_mode).cache()
         admitted = batch.count()
         if admitted == 0:
+            # empty schedule ⇒ remaining frontier is exhausted (capacity
+            # is ≥1 per host, so a non-empty frontier always admits rows)
             break
+        t_sched = time.perf_counter()
 
         resources = _batch_resources(batch, world, sdf)
+        # extraction is CPU-dense per byte (one DOM parse per row);
+        # AQE's byte-based coalescing would pack the whole batch into a
+        # few partitions and idle the cluster — spread it explicitly
+        resources = resources.repartition(
+            spark.sparkContext.defaultParallelism)
         docs = extract_documents(
             resources, config, crawl_time,
             passthrough=("crawl_seq", "site_id", "__csid"))
@@ -258,7 +289,11 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                 .withColumn("batch_id", F.lit(batch_id))
                 .withColumn("url", F.col("path_string")))
         sink.append_upserts(docs, batch_id)
-        indexed = docs.count()
+        # count from the written delta (parquet footer metadata) — a
+        # docs.count() here would re-run the whole extraction stage
+        indexed = spark.read.parquet(
+            os.path.join(sink.delta_root, f"batch={batch_id}")).count()
+        t_extract = time.perf_counter()
 
         host_state = politeness.updated_host_state(
             host_state, batch.filter(F.col("n_429") > 0))
@@ -267,7 +302,12 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
         _write_ckpt(ckpt_root, batch_id, remaining, host_state)
         remaining, host_state = _read_ckpt(spark, ckpt_root, batch_id)
         metrics.append({"batch": batch_id, "admitted": admitted,
-                        "indexed": indexed})
+                        "indexed": indexed,
+                        "sec_schedule": round(t_sched - t0, 3),
+                        "sec_extract_sink":
+                        round(t_extract - t_sched, 3),
+                        "sec_checkpoint":
+                        round(time.perf_counter() - t_extract, 3)})
         with open(meta_path) as fh:
             meta = json.load(fh)
         meta["metrics"] = metrics

@@ -164,7 +164,10 @@ def build_entries(spark: SparkSession, sites: list, n_urls: int,
         # layout: site0 → many chunks behind an index; site2 → exactly
         # its two static sitemaps; others → one sitemap each
         if site.site_id == 0:
-            chunk = max(50, min(10_000, n // 3 + 1))
+            # many chunks behind the index: sitemap-XML parse parallelism
+            # is one task per sitemap, so chunk count must grow with n
+            # (a single 50k-url sitemap would serialize the parse stage)
+            chunk = max(50, min(5_000, n // 16 + 1))
         elif site.site_id == 2:
             chunk = n // 2 + 1
         else:
@@ -444,19 +447,19 @@ def build_fetch_status(entries: DataFrame, seed: int) -> DataFrame:
     redirects (pmod 98), 429 bursts (pmod 95 → n_429 retries), plus
     fixed header-override rows for the edge pages.
 
-    Repeat-429s (n_429=2) are kept RARE (~0.02% of urls): each one
-    permanently doubles the host's politeness sleeptime (reference
-    fetcher.py:60-66), so a dense repeat-429 population would collapse
-    per-host capacity to 1 url/batch — the reference itself would
-    sleep for 2^k·0.1 s and effectively hang on such a world."""
+    Repeat-429s (n_429=2) are a CONSTANT COUNT per world (two fixed
+    urls), not a density: each one permanently doubles the host's
+    politeness sleeptime (reference fetcher.py:60-66, no reset on
+    success), so any per-url probability makes doublings grow linearly
+    with world size and collapses per-host capacity to ~1 url/batch —
+    the reference itself would sleep 2^k·0.1 s and hang on such a
+    world. Single 429s (n_429=1, no doubling) stay at ~1% density."""
     h = F.pmod(F.abs(F.xxhash64("loc", F.lit(seed + 7))), F.lit(100))
-    h2 = F.pmod(F.abs(F.xxhash64("loc", F.lit(seed + 9))), F.lit(50))
     base = entries.dropDuplicates(["loc"]).select(
         F.col("loc").alias("url"),
         F.when(h == 96, 404).when(h == 98, 301).otherwise(200)
         .alias("status"),
-        F.when(h == 95, F.when(h2 == 0, 2).otherwise(1).cast("int"))
-        .otherwise(0).alias("n_429"),
+        F.when(h == 95, 1).otherwise(0).cast("int").alias("n_429"),
         F.lit(None).cast("map<string,string>").alias("headers"),
     ).filter((F.col("status") != 200) | (F.col("n_429") > 0))
 
@@ -468,9 +471,44 @@ def build_fetch_status(entries: DataFrame, seed: int) -> DataFrame:
            "content-disposition": 'attachment; filename="bericht.pdf"'}),
          ("http://site4.example.net/x-doc-title", 200, 0,
           {"x-document-title":
-           b64.b64encode(" Übergeordneter Titel ".encode()).decode()})],
+           b64.b64encode(" Übergeordneter Titel ".encode()).decode()}),
+         # the two fixed repeat-429 urls (sleeptime-doubling coverage)
+         ("https://site0.example.ch/page/3/doc-3", 200, 2, None),
+         ("http://site1.example.org/page/5/doc-5", 200, 2, None)],
         "url string, status int, n_429 int, headers map<string,string>")
+    base = base.join(special.select(F.col("url").alias("u")),
+                     base.url == F.col("u"), "left_anti")
     return base.unionByName(special)
+
+
+ROBOTS_BODIES = {
+    # site0: one page bucket disallowed, one doc-prefix within another
+    # bucket re-allowed (exercises longest-prefix + tie semantics)
+    "site0.example.ch": (
+        "# generated robots\n"
+        "User-agent: *\n"
+        "Disallow: /page/13/\n"
+        "Disallow: /page/7/\n"
+        "Allow: /page/7/doc-1\n"),
+    # site1: empty group → allow everything
+    "site1.example.org": "User-agent: *\nDisallow:\n",
+    # site2: NO robots row at all (host absent → allowed)
+    # site3: group for a different agent only → * unaffected
+    "site3.example.com": (
+        "User-agent: otherbot\nDisallow: /\n"
+        "User-agent: *\n# nothing disallowed for *\n"),
+    # site4: gates the /stuff/ edge entry
+    "site4.example.net": "User-agent: *\nDisallow: /stuff\n",
+}
+
+
+def build_robots(spark: SparkSession) -> DataFrame:
+    """Per-host robots.txt bodies (FIXTURES.md §6). Deterministic
+    constants — the oracle parses the same bytes."""
+    rows = [(host, body.encode("utf-8"))
+            for host, body in sorted(ROBOTS_BODIES.items())]
+    return spark.createDataFrame(
+        rows, "host string, robots_txt binary")
 
 
 # ---------------------------------------------------------------------------
@@ -503,6 +541,9 @@ def generate_world(spark: SparkSession, out_dir: str, sf: float = 0.01,
     fetch_status.write.mode("overwrite").parquet(
         f"{out_dir}/fetch_status.parquet")
 
+    build_robots(spark).write.mode("overwrite").parquet(
+        f"{out_dir}/robots.parquet")
+
     return {name: f"{out_dir}/{name}.parquet"
             for name in ("entries", "sitemaps", "pages", "index0",
-                         "fetch_status")}
+                         "fetch_status", "robots")}

@@ -120,6 +120,10 @@ class FrontierStream:
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
         fresh = self._seen_filter(batch)
         resources = self._resources(fresh)
+        # spread the CPU-dense extraction across the cluster (see
+        # plans/crawl.py — byte-based AQE coalescing under-partitions it)
+        resources = resources.repartition(
+            self.spark.sparkContext.defaultParallelism)
         docs = extract_documents(
             resources, self.config, self.crawl_time,
             passthrough=("crawl_seq", "site_id", "__csid"))

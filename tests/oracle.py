@@ -16,15 +16,18 @@ upsert-by-UID last-write-wins.
 
 from __future__ import annotations
 
+import os
 from datetime import timezone
 
 import pyarrow.parquet as pq
 
 from ftw_crawler_spark import config as cfg
 from ftw_crawler_spark.functions import scalars
+from ftw_crawler_spark.operators.robots import (is_path_allowed,
+                                                parse_robots_txt)
 from ftw_crawler_spark.operators.sitemaps import (
     SITEMAP_INDEX_NAMES, SITEMAP_NAMES, parse_entries)
-from urllib.parse import urljoin
+from urllib.parse import urljoin, urlparse
 
 
 def _read(path):
@@ -42,6 +45,12 @@ def run_oracle(world_dir: str, sites, config, crawl_time,
     index0 = _read(f"{world_dir}/index0.parquet")
     fetch_status = {r["url"]: r
                     for r in _read(f"{world_dir}/fetch_status.parquet")}
+    robots_rules = {}
+    if os.path.exists(f"{world_dir}/robots.parquet"):
+        robots_rules = {
+            r["host"]: parse_robots_txt(
+                bytes(r["robots_txt"]).decode("utf-8", errors="replace"))
+            for r in _read(f"{world_dir}/robots.parquet")}
 
     crawl_time = crawl_time.replace(tzinfo=timezone.utc) \
         if crawl_time.tzinfo is None else crawl_time
@@ -85,6 +94,14 @@ def run_oracle(world_dir: str, sites, config, crawl_time,
                 loc = e["loc"]
                 if url_filter and loc != url_filter:
                     continue  # main.py:117-119
+                # robots gate (engine: plans/crawl.py skip classifier) —
+                # checked before any fetch-dependent logic
+                host = (urlparse(loc).hostname or "").lower()
+                if host in robots_rules:
+                    path = urlparse(loc).path or "/"
+                    if not is_path_allowed(path, robots_rules[host]):
+                        skipped[loc] = "robots_disallowed"
+                        continue
                 last_indexed = None  # main.py:61-66 (pre-purge list ok:
                 # purged docs are never in the sitemap)
                 for d in indexed_docs:

@@ -1,0 +1,97 @@
+"""robots.txt gating: parser grouping, longest-prefix/tie semantics,
+and the pure-column Spark evaluation against the python evaluator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ftw_crawler_spark.operators.robots import (
+    apply_robots, is_path_allowed, parse_robots_txt, robots_rules)
+
+BODY = """# comment
+User-agent: otherbot
+Disallow: /
+
+User-agent: googlebot
+User-agent: *
+Disallow: /private/
+Disallow: /tmp
+Allow: /private/public
+Disallow:
+Crawl-delay: 10
+"""
+
+
+def test_parse_groups_and_rules():
+    rules = parse_robots_txt(BODY)
+    # only the group containing '*' applies; empty Disallow dropped
+    assert rules == [(False, "/private/"), (False, "/tmp"),
+                     (True, "/private/public")]
+
+
+def test_parse_star_only_group_ignored_for_other_agents():
+    assert parse_robots_txt("User-agent: foo\nDisallow: /x\n") == []
+
+
+def test_longest_prefix_wins():
+    rules = parse_robots_txt(BODY)
+    assert is_path_allowed("/", rules)
+    assert not is_path_allowed("/private/a", rules)
+    assert is_path_allowed("/private/public/x", rules)
+    assert not is_path_allowed("/tmp/file", rules)
+    assert is_path_allowed("/tmpx", rules) is False  # prefix, not segment
+    assert is_path_allowed("/other", rules)
+
+
+def test_tie_allow_wins():
+    rules = [(False, "/a/"), (True, "/a/")]
+    assert is_path_allowed("/a/x", rules)
+
+
+def test_spark_gate_matches_python(spark):
+    robots = spark.createDataFrame(
+        [("h.example", BODY.encode()), ("empty.example", b"")],
+        "host string, robots_txt binary")
+    rules = robots_rules(robots)
+    paths = ["/", "/private/a", "/private/public/x", "/tmp", "/tmpx",
+             "/other", "/b\xe4r"]
+    rows = ([("h.example", f"http://h.example{p}") for p in paths]
+            + [("empty.example", "http://empty.example/private/a"),
+               ("nobots.example", "http://nobots.example/private/a")])
+    frontier = spark.createDataFrame(rows, "host string, loc string")
+    out = {(r["host"], r["loc"]): r["robots_allowed"]
+           for r in apply_robots(frontier, rules).collect()}
+    py_rules = parse_robots_txt(BODY)
+    for p in paths:
+        assert out[("h.example", f"http://h.example{p}")] == \
+            is_path_allowed(p, py_rules), p
+    # empty body and absent host are both allow-all
+    assert out[("empty.example", "http://empty.example/private/a")]
+    assert out[("nobots.example", "http://nobots.example/private/a")]
+
+
+def test_crawl_world_gates_disallowed_buckets(spark, tiny_world):
+    """The synthetic world's robots (site0 /page/13/, /page/7/ minus
+    doc-1*) must keep gated urls out of the index — engine side."""
+    import tempfile
+
+    from datetime import datetime
+
+    from ftw_crawler_spark.plans.crawl import run_crawl
+    out = tempfile.mkdtemp(prefix="robots_e2e_")
+    result = run_crawl(spark, tiny_world, out,
+                       crawl_time=datetime(2026, 1, 15, 12))
+    crawled = [r["url"] for r in result.index()
+               .filter(F.col("batch_id").isNotNull())
+               .select("url").collect()]
+    assert crawled, "crawl indexed nothing"
+    site0 = "https://site0.example.ch/"
+    for u in crawled:
+        if u.startswith(site0):
+            assert "/page/13/" not in u
+            if "/page/7/" in u:
+                assert u.split("/page/7/")[1].startswith("doc-1")
+        assert not u.startswith("http://site4.example.net/stuff")
+    # the gate actually fired: site0 has /page/13/ urls in its sitemaps
+    # that must be absent from the crawl
+    assert any(u.startswith(site0) for u in crawled)
