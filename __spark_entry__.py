@@ -607,6 +607,93 @@ def _simhash(spark, sf_dir):
     return dedup.simhash_fingerprints(docs)
 
 
+_SIMHASH_NEAR_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' zz9' AS text
+  FROM documents),
+toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM corpus),
+tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+h AS (SELECT doc_id, {_MD5L.format('w')} AS hv FROM tok),
+bits AS (SELECT doc_id, b AS bit,
+         CASE WHEN (hv >> (63 - b)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+         FROM h, (SELECT unnest(range(0, 64)) AS b)),
+agg AS (SELECT doc_id, bit, sum(vote) AS s FROM bits GROUP BY 1, 2),
+fp AS (SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
+                                 '' ORDER BY bit) AS simhash
+       FROM agg GROUP BY doc_id),
+banded AS (SELECT doc_id, simhash, b AS band_idx,
+                  substr(simhash, b * 16 + 1, 16) AS band_val
+           FROM fp, (SELECT unnest(range(0, 4)) AS b)),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                x.simhash AS sa, y.simhash AS sb
+         FROM banded x JOIN banded y
+           ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+          AND x.doc_id < y.doc_id)
+SELECT a, b, hamming FROM (
+  SELECT a, b,
+    len(list_filter(range(1, 65),
+                    i -> substr(sa, i, 1) <> substr(sb, i, 1))) AS hamming
+  FROM cand) WHERE hamming <= 4
+"""
+
+
+@_q("dedup_simhash_near_pairs", _SIMHASH_NEAR_SQL)
+def _simhash_near(spark, sf_dir):
+    """SimHash near-dup pairs: banded-substring LSH candidates +
+    Hamming verify. The corpus is each doc plus a one-token-perturbed
+    copy, so near-identical pairs exist by construction and the banded
+    join actually fires."""
+    docs = _t(spark, sf_dir, "documents")
+    pert = docs.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9")).alias("text"))
+    corpus = docs.select("doc_id", "text").unionByName(pert)
+    return dedup.simhash_near_pairs(corpus, max_hamming=4)
+
+
+@_q("metadata_dc_precedence", """
+SELECT doc_id,
+  CASE doc_id % 4
+    WHEN 0 THEN 'dcterms-' || doc_id
+    WHEN 1 THEN 'dc-' || doc_id
+    WHEN 2 THEN 'plain-' || doc_id
+    ELSE NULL END AS title
+FROM documents
+""")
+def _meta_dc(spark, sf_dir):
+    """E19/§1.5: SimpleMetadata canonicalization — Dublin-Core prefixed
+    keys map to canonical keys first-prefix-wins
+    (metadata.py:1-33: title ← dcterms:title, dc:title, DC.title,
+    title), via the engine's real canonicalize_metadata inside an Arrow
+    UDF over a map column."""
+    from ftw_crawler_spark.functions.scalars import canonicalize_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    meta = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.create_map(F.lit("dcterms:title"),
+                            F.concat(F.lit("dcterms-"), sid),
+                            F.lit("title"),
+                            F.concat(F.lit("SHADOWED-"), sid)))
+        .when(F.col("doc_id") % 4 == 1,
+              F.create_map(F.lit("dc:title"),
+                           F.concat(F.lit("dc-"), sid)))
+        .when(F.col("doc_id") % 4 == 2,
+              F.create_map(F.lit("title"),
+                           F.concat(F.lit("plain-"), sid)))
+        .otherwise(F.create_map(F.lit("keywords"), F.lit("x"))))
+
+    @F.pandas_udf("string")
+    def canon_title(maps: pd.Series) -> pd.Series:
+        return pd.Series([
+            canonicalize_metadata(dict(m)).get("title") for m in maps])
+
+    return docs.select("doc_id", canon_title(meta).alias("title"))
+
+
 # --- text analysis ----------------------------------------------------------
 
 _LANG_HIT = ("len(list_filter(t, x -> x IN ({words})))")

@@ -42,7 +42,8 @@ def initial_host_state(frontier: DataFrame, sites: DataFrame) -> DataFrame:
 
 def select_batch(remaining: DataFrame, host_state: DataFrame,
                  batch_seconds: float,
-                 order_mode: str = "reference") -> DataFrame:
+                 order_mode: str = "reference",
+                 salt_buckets: int | None = 16) -> DataFrame:
     """Rows admitted to the next micro-batch under per-host budgets.
 
     capacity(host) = max(1, floor(batch_seconds / sleeptime));
@@ -56,22 +57,40 @@ def select_batch(remaining: DataFrame, host_state: DataFrame,
       crawl_seq — the priority-frontier-queue mode of the north rule;
       still a pure function of the frontier, so equally deterministic
       and resumable.
+
+    ``salt_buckets``: Zipf-head skew guard. A head host can hold half a
+    10^10-row frontier, and a single per-host window would sort all of
+    it in one partition. With S buckets the rank runs in two exact
+    phases: per-(host, salt) top-cap (S-way parallel), then per-host
+    top-cap over at most S·cap survivors — every global top-cap row is
+    by construction within its bucket's top-cap, so the result is
+    IDENTICAL to the single-window form (the e2e oracle tests pin
+    this). None disables the pre-phase.
     """
     if order_mode == "priority":
         order = [F.desc_nulls_last(F.col("priority").cast("double")),
                  F.asc("crawl_seq")]
     else:
         order = [F.asc("crawl_seq")]
+    budgeted = (remaining
+                .join(F.broadcast(host_state), "host", "left")
+                .withColumn("__sleep", F.coalesce(F.col("sleeptime"),
+                                                  F.lit(0.1)))
+                .withColumn("__cap",
+                            F.greatest(F.lit(1),
+                                       F.floor(F.lit(batch_seconds)
+                                               / F.col("__sleep")))))
+    if salt_buckets and salt_buckets > 1:
+        w1 = Window.partitionBy("host", "__salt").orderBy(*order)
+        budgeted = (budgeted
+                    .withColumn("__salt",
+                                F.pmod(F.xxhash64("crawl_seq"),
+                                       F.lit(salt_buckets)))
+                    .withColumn("__r1", F.row_number().over(w1))
+                    .filter(F.col("__r1") <= F.col("__cap"))
+                    .drop("__salt", "__r1"))
     w = Window.partitionBy("host").orderBy(*order)
-    ranked = (remaining
-              .join(F.broadcast(host_state), "host", "left")
-              .withColumn("__sleep", F.coalesce(F.col("sleeptime"),
-                                                F.lit(0.1)))
-              .withColumn("__cap",
-                          F.greatest(F.lit(1),
-                                     F.floor(F.lit(batch_seconds)
-                                             / F.col("__sleep"))))
-              .withColumn("__rank", F.row_number().over(w)))
+    ranked = budgeted.withColumn("__rank", F.row_number().over(w))
     return (ranked.filter(F.col("__rank") <= F.col("__cap"))
             .drop("__sleep", "__cap", "__rank", "sleeptime"))
 

@@ -156,3 +156,67 @@ def test_single_url_mode(spark, world, oracle_run, tmp_path_factory):
                          & final_uids
                          - {d["UID"] for d in
                             oracle_single["index"].values()})
+
+
+def test_second_crawl_is_incremental_noop(spark, world, engine_run,
+                                          tmp_path_factory):
+    """F4 end-to-end: re-crawling against the index the first run
+    produced fetches NOTHING — every previously-indexed url gates on
+    strict-> is_modified (equal timestamps = unmodified,
+    test_fetcher.py:124-151)."""
+    import shutil
+
+    world2 = str(tmp_path_factory.mktemp("world2"))
+    for t in ("sitemaps", "pages", "fetch_status", "robots"):
+        src = f"{world}/{t}.parquet"
+        if __import__("os").path.exists(src):
+            shutil.copytree(src, f"{world2}/{t}.parquet")
+    (engine_run.index()
+     .select("UID", "url", "modified", "crawler_site_id")
+     .write.mode("overwrite").parquet(f"{world2}/index0.parquet"))
+
+    out2 = str(tmp_path_factory.mktemp("rerun"))
+    r2 = run_crawl(spark, world2, out2, crawl_time=CRAWL_TIME)
+    recrawled = {r["url"] for r in
+                 r2.index().filter(F.col("batch_id").isNotNull())
+                 .select("url").collect()}
+    # reference-faithful exception: docs indexed under a <target> url
+    # never match their sitemap loc in the last-indexed lookup
+    # (main.py:61-66 matches on url_field == loc), so they re-crawl on
+    # every run. Everything else must gate on not_modified.
+    first = {r["url"] for r in
+             engine_run.index().filter(F.col("batch_id").isNotNull())
+             .select("url").collect()}
+    # ...and docs whose stored url escapes the case-sensitive site
+    # prefix scope (main.py:49-58 — e.g. the MIXED-CASE url) are
+    # likewise invisible to the lookup and re-crawl every run.
+    locs = _locs_of_world(spark, world)
+    prefixes = tuple(s.url for s in default_sites())
+    always_recrawl = {u for u in first
+                      if u not in locs or not u.startswith(prefixes)}
+    assert recrawled == always_recrawl
+    plan = next(m for m in r2.metrics if m.get("event") == "plan")
+    assert plan["skips"].get("not_modified", 0) > 0
+    # nothing purged either: the sitemap membership is unchanged
+    assert r2.index().count() == engine_run.index().count()
+
+
+def _locs_of_world(spark, world_dir):
+    from ftw_crawler_spark.operators.sitemaps import build_frontier
+    sm = spark.read.parquet(f"{world_dir}/sitemaps.parquet")
+    return {r["loc"] for r in build_frontier(
+        spark, default_sites(), sm).select("loc").collect()}
+
+
+def test_force_recrawls_everything(spark, world, engine_run,
+                                   tmp_path_factory):
+    """--force bypasses is_modified (reference fetcher.py:50,
+    __init__.py:23-24): the same world re-crawls fully."""
+    out = str(tmp_path_factory.mktemp("forced"))
+    r = run_crawl(spark, world, out, crawl_time=CRAWL_TIME, force=True)
+    n_forced = r.index().filter(F.col("batch_id").isNotNull()).count()
+    n_first = engine_run.index() \
+        .filter(F.col("batch_id").isNotNull()).count()
+    assert n_forced >= n_first
+    plan = next(m for m in r.metrics if m.get("event") == "plan")
+    assert plan["skips"].get("not_modified", 0) == 0
