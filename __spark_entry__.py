@@ -1010,6 +1010,69 @@ def _header_mapping(spark, sf_dir):
                              CRAWL_TIME, passthrough=("doc_id",))
 
 
+@_q("filename_content_disposition", """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'bericht-' || doc_id || '.pdf'
+       ELSE NULL END AS filename
+FROM documents
+""")
+def _filename(spark, sf_dir):
+    """E10: FilenameExtractor — content-disposition split-on-';'/'='
+    parse with quote strip (extractors.py:347-360); odd doc_ids carry
+    no content-disposition header → no value → NULL."""
+    docs = _t(spark, sf_dir, "documents")
+    cd = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('attachment; filename="bericht-'),
+                 F.col("doc_id").cast("string"), F.lit('.pdf"')))
+    headers = (F.when(cd.isNotNull(),
+                      F.create_map(F.lit("content-type"),
+                                   F.lit("application/pdf"),
+                                   F.lit("content-disposition"), cd))
+               .otherwise(F.create_map(F.lit("content-type"),
+                                       F.lit("application/pdf"))))
+    resources = _doc_resources(docs).withColumn("headers", headers)
+    fields = [cfg.Field("filename", cfg.FilenameExtractor())]
+    return extract_documents(resources,
+                             cfg.CrawlerConfig(sites=[], fields=fields),
+                             CRAWL_TIME, passthrough=("doc_id",))
+
+
+@_q("field_mapping_derived", """
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'Webseite'
+                  WHEN 1 THEN 'PDF Dokument'
+                  ELSE 'Sonstige' END AS doc_type_label
+FROM documents
+""")
+def _field_mapping(spark, sf_dir):
+    """E18: FieldMappingExtractor — another field's extracted value
+    mapped through a dict (extractors.py:445-469); the engine resolves
+    the source field and evaluates it first (topological order). Both
+    fields compile to native CASE columns here (zero Python)."""
+    docs = _t(spark, sf_dir, "documents")
+    ct = (F.when(F.col("doc_id") % 3 == 0,
+                 F.lit("text/html; charset=utf-8"))
+          .when(F.col("doc_id") % 3 == 1, F.lit("application/pdf"))
+          .otherwise(F.lit("application/zip")))
+    resources = _doc_resources(docs).withColumn(
+        "headers", F.create_map(F.lit("content-type"), ct))
+    fields = [
+        cfg.Field("doc_format", cfg.HeaderMappingExtractor(
+            "content-type",
+            {"text/html": "HTML page", "application/pdf": "PDF document"},
+            default="other format")),
+        cfg.Field("doc_type_label", cfg.FieldMappingExtractor(
+            "doc_format",
+            {"HTML page": "Webseite", "PDF document": "PDF Dokument"},
+            default="Sonstige")),
+    ]
+    out = extract_documents(resources,
+                            cfg.CrawlerConfig(sites=[], fields=fields),
+                            CRAWL_TIME, passthrough=("doc_id",))
+    return out.select("doc_id", "doc_type_label")
+
+
 @_q("sitemap_parse_roundtrip", """
 SELECT source,
   row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS url_ord,
