@@ -1232,6 +1232,50 @@ def _blob_meta(spark, sf_dir):
     return multimodal.blob_meta(docs)
 
 
+@_q("multimodal_resize_meta", """
+WITH dims AS (
+  SELECT doc_id, encode(text) AS blob,
+    1 + ('0x'||substr(md5(text),1,15))::BIGINT % 1024 AS w,
+    1 + ('0x'||substr(md5('h:'||text),1,15))::BIGINT % 768 AS h
+  FROM documents),
+fit AS (
+  SELECT doc_id, blob,
+    greatest(1, floor(w * least(224.0 / w, 224.0 / h))::BIGINT) AS out_w,
+    greatest(1, floor(h * least(224.0 / w, 224.0 / h))::BIGINT) AS out_h
+  FROM dims)
+SELECT doc_id, out_w, out_h,
+  md5(out_w || 'x' || out_h || ':' || text) AS resized_hash
+FROM fit JOIN documents USING (doc_id)
+""")
+def _resize_meta(spark, sf_dir):
+    """Resize plumbing: aspect-preserving fit from the fake-decoded
+    dims; Arrow batches, shuffle-free, deterministic fake pixels."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob"))
+    return multimodal.resize_meta(docs)
+
+
+@_q("multimodal_feature_extract", """
+SELECT doc_id, j,
+  ('0x'||substr(md5(j || ':' || text),1,15))::BIGINT
+    / 1152921504606846976.0 AS component
+FROM documents, (SELECT unnest(range(0, 8)) AS j)
+""")
+def _feature_extract(spark, sf_dir):
+    """Feature-extraction plumbing: binary → fixed-dim array<double>
+    embedding via mapInPandas (a real encoder swaps in with the same
+    plan shape); md5-derived fake model keeps it oracle-exact. The
+    vector is exploded to scalar components for the cross-engine
+    value-hash (array columns stringify differently per engine)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob"))
+    feats = multimodal.feature_extract(docs)
+    return feats.select(
+        "doc_id", F.posexplode("feature").alias("j", "component")) \
+        .select("doc_id", F.col("j").cast("long").alias("j"),
+                "component")
+
+
 @_q("multimodal_frame_sample", """
 SELECT doc_id, k::BIGINT AS frame_idx, md5(k || ':' || text) AS frame_hash
 FROM documents, (SELECT unnest(range(0, 3)) AS k)

@@ -71,6 +71,78 @@ def blob_meta(df: DataFrame, blob_col: str = "blob",
     return src.mapInPandas(run, schema=BLOB_META_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("out_w", T.LongType()),
+    T.StructField("out_h", T.LongType()),
+    T.StructField("resized_hash", T.StringType()),
+])
+
+
+def resize_meta(df: DataFrame, target_w: int = 224, target_h: int = 224,
+                blob_col: str = "blob",
+                id_col: str = "doc_id") -> DataFrame:
+    """Resize-stage plumbing: aspect-preserving fit into
+    (target_w, target_h) computed from the fake-decoded dimensions;
+    the "resized pixels" are faked as md5(f"{w}x{h}:" + blob). Real
+    codec swaps into ``decode_image`` + PIL resize; the Spark plan
+    (Arrow batches, no shuffle, typed output) is the real thing."""
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.col(blob_col).alias("blob"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf["doc_id"], pdf["blob"]):
+                blob = bytes(b)
+                _n, w, h, _m = _fake_decode(blob)
+                scale = min(target_w / w, target_h / h)
+                ow = max(1, int(w * scale))
+                oh = max(1, int(h * scale))
+                rows.append((int(i), ow, oh, hashlib.md5(
+                    f"{ow}x{oh}:".encode() + blob).hexdigest()))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "out_w", "out_h",
+                               "resized_hash"])
+
+    return src.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("feature", T.ArrayType(T.DoubleType())),
+])
+
+
+def feature_extract(df: DataFrame, blob_col: str = "blob",
+                    id_col: str = "doc_id",
+                    dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature-extraction plumbing: binary column → fixed-dim embedding
+    vector (array<double>), Arrow-batched, shuffle-free. The "model" is
+    a deterministic fake — component j = md5_long(f"{j}:" + blob)
+    scaled into [0, 1) by 2^60 — exactly reproducible in SQL, so the
+    whole distributed path is oracle-checked. A real encoder swaps in
+    here (ONNX/torch per executor) with the identical plan shape."""
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.col(blob_col).alias("blob"))
+    denom = float(1 << 60)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf["doc_id"], pdf["blob"]):
+                blob = bytes(b)
+                vec = [int(hashlib.md5(f"{j}:".encode() + blob)
+                           .hexdigest()[:15], 16) / denom
+                       for j in range(dim)]
+                rows.append((int(i), vec))
+            yield pd.DataFrame(rows, columns=["doc_id", "feature"])
+
+    return src.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
 FRAME_SAMPLE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("frame_idx", T.LongType()),

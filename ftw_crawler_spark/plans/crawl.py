@@ -301,8 +301,15 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                                    "crawl_seq", "left_anti")
         _write_ckpt(ckpt_root, batch_id, remaining, host_state)
         remaining, host_state = _read_ckpt(spark, ckpt_root, batch_id)
+        # per-host lineage/metrics (north rule): admitted rows per host
+        # this batch — cheap, the batch is cached and tiny after the
+        # politeness cap
+        per_host = {r["host"]: r["n"] for r in
+                    batch.groupBy("host").agg(
+                        F.count(F.lit(1)).alias("n")).collect()}
         metrics.append({"batch": batch_id, "admitted": admitted,
                         "indexed": indexed,
+                        "per_host_admitted": per_host,
                         "sec_schedule": round(t_sched - t0, 3),
                         "sec_extract_sink":
                         round(t_extract - t_sched, 3),
