@@ -1010,6 +1010,35 @@ def _header_mapping(spark, sf_dir):
                              CRAWL_TIME, passthrough=("doc_id",))
 
 
+@_q("xpath_h1_extract", """
+SELECT doc_id,
+  CASE WHEN doc_id % 5 = 0 THEN NULL
+       ELSE 'Deep ' || doc_id || ' tail' END AS h1_text
+FROM documents
+""")
+def _xpath_h1(spark, sf_dir):
+    """E8: XPathExtractor — //div[@id='content']/h1 over the parsed DOM
+    with descendant text_content (extractors.py:231-285; the
+    'Der Bärengraben' golden shape, test_extractors.py:312-317: the h1
+    contains a nested <span>, whose text must be included). doc_id%5==0
+    rows have no matching node → no value → NULL."""
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.lit("<html><body><h1>outside content div</h1></body></html>")
+    ).otherwise(F.concat(
+        F.lit('<html><body><div id="content"><h1><span>Deep</span> '),
+        sid, F.lit(" tail</h1></div><p>body</p></body></html>")))
+    resources = _doc_resources(docs).withColumn(
+        "html", F.encode(html, "UTF-8"))
+    fields = [cfg.Field("h1_text",
+                        cfg.XPathExtractor("//div[@id='content']/h1"))]
+    return extract_documents(resources,
+                             cfg.CrawlerConfig(sites=[], fields=fields),
+                             CRAWL_TIME, passthrough=("doc_id",))
+
+
 @_q("filename_content_disposition", """
 SELECT doc_id,
   CASE WHEN doc_id % 2 = 0 THEN 'bericht-' || doc_id || '.pdf'
