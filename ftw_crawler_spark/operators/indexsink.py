@@ -39,6 +39,20 @@ class IndexSink:
            .withColumn("is_delete", F.lit(False))
            .write.mode("overwrite").parquet(self.base_path))
 
+    def write_base_files(self, src_parquet_dir: str) -> None:
+        """Zero-Spark base install: file-level copy of an existing
+        parquet dir. The read side normalizes the missing op_seq /
+        is_delete columns to (-2, false), so this is equivalent to
+        write_base without paying a full rewrite job (the base can be
+        100× the per-batch delta at a real crawl's scale)."""
+        import shutil
+        shutil.rmtree(self.base_path, ignore_errors=True)
+        shutil.copytree(src_parquet_dir, self.base_path)
+        success = os.path.join(self.base_path, "_SUCCESS")
+        if not os.path.exists(success):
+            with open(success, "w"):
+                pass
+
     def append_upserts(self, docs: DataFrame, batch_id: int) -> None:
         """Docs must carry UID + op_seq (crawl_seq serves as op_seq —
         later crawls of the same UID win, matching Solr's
@@ -74,7 +88,19 @@ class IndexSink:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
-        return out
+        # a file-copied base (write_base_files) lacks the log columns —
+        # absent op_seq means "base snapshot", absent is_delete "upsert"
+        if "op_seq" not in out.columns:
+            out = out.withColumn("op_seq", F.lit(None).cast("long"))
+        if "is_delete" not in out.columns:
+            out = out.withColumn("is_delete",
+                                 F.lit(None).cast("boolean"))
+        return (out.withColumn("op_seq",
+                               F.coalesce(F.col("op_seq"),
+                                          F.lit(-2).cast("long")))
+                .withColumn("is_delete",
+                            F.coalesce(F.col("is_delete"),
+                                       F.lit(False))))
 
     def current(self) -> DataFrame | None:
         """The MERGE-resolved view: last op per UID, tombstones dropped."""

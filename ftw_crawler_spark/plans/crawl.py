@@ -221,7 +221,7 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
         start_batch = 0
 
         t0 = time.perf_counter()
-        sink.write_base(world["index0"])
+        sink.write_base_files(f"{world_dir}/index0.parquet")
         sdf = sites_df(spark, sites)
 
         frontier = build_frontier(spark, sites, world["sitemaps"]).cache()

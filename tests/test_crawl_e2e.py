@@ -220,3 +220,36 @@ def test_force_recrawls_everything(spark, world, engine_run,
     assert n_forced >= n_first
     plan = next(m for m in r.metrics if m.get("event") == "plan")
     assert plan["skips"].get("not_modified", 0) == 0
+
+
+def test_resume_ignores_uncommitted_checkpoint(spark, world, engine_run,
+                                               tmp_path_factory):
+    """Crash simulation: a checkpoint dir written WITHOUT its _COMMIT
+    marker (and an orphan sink delta for the same batch) must be
+    ignored on resume — the batch replays from the last committed
+    state and the orphan delta is overwritten (idempotent upsert)."""
+    import os
+    import shutil
+
+    out = str(tmp_path_factory.mktemp("crash"))
+    run_crawl(spark, world, out, crawl_time=CRAWL_TIME,
+              batch_seconds=5.0, max_batches=1)
+    ckpt = os.path.join(out, "checkpoints")
+    # fake a torn batch=1: checkpoint copied from batch=0 minus _COMMIT
+    shutil.copytree(os.path.join(ckpt, "batch=0"),
+                    os.path.join(ckpt, "batch=1"))
+    os.remove(os.path.join(ckpt, "batch=1", "_COMMIT"))
+    # orphan sink delta for batch 1 with stale (wrong) content
+    delta = os.path.join(out, "index", "delta")
+    shutil.copytree(os.path.join(delta, "batch=0"),
+                    os.path.join(delta, "batch=1"))
+
+    resumed = run_crawl(spark, world, out, crawl_time=CRAWL_TIME,
+                        batch_seconds=5.0, resume=True)
+    a = {(r["UID"], r["url"], r["Title"], r["crawl_seq"])
+         for r in engine_run.index()
+         .select("UID", "url", "Title", "crawl_seq").collect()}
+    b = {(r["UID"], r["url"], r["Title"], r["crawl_seq"])
+         for r in resumed.index()
+         .select("UID", "url", "Title", "crawl_seq").collect()}
+    assert a == b
