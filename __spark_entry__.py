@@ -834,6 +834,56 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+def _kmeans_sql(n_centroids: int = 4, n_iter: int = 2,
+                dim: int = 64) -> str:
+    """Lloyd's k-means unrolled to ``n_iter`` CTE generations — fully
+    deterministic cross-engine (fold-order dot products; decimal-exact
+    component sums)."""
+    d2 = ("v.n2 - 2 * list_dot_product(v.v, c.c) + c.c2")
+    parts = [f"""
+WITH vecs AS (
+  SELECT vec_id AS vid, embedding::DOUBLE[] AS v,
+         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+  FROM embeddings),
+cent0 AS (SELECT vid AS cid, v AS c, n2 AS c2 FROM vecs
+          WHERE vid < {n_centroids})"""]
+    prev = "cent0"
+    for it in range(1, n_iter + 1):
+        parts.append(f""",
+asg{it} AS (
+  SELECT vid, cid, v FROM (
+    SELECT v.vid, c.cid, v.v,
+      row_number() OVER (PARTITION BY v.vid
+                         ORDER BY ({d2}) ASC, c.cid ASC) AS r
+    FROM vecs v, {prev} c) WHERE r = 1),
+mean{it} AS (
+  SELECT cid, j,
+    sum(v[j + 1]::DECIMAL(28,12))::DOUBLE / count(*) AS m
+  FROM asg{it}, (SELECT unnest(range(0, {dim})) AS j)
+  GROUP BY cid, j),
+cent{it} AS (
+  SELECT cid, c, list_dot_product(c, c) AS c2 FROM (
+    SELECT cid, list(m ORDER BY j) AS c FROM mean{it} GROUP BY cid))""")
+        prev = f"cent{it}"
+    parts.append(f"""
+SELECT vid AS vec_id, cid, round(sqrt(d2), 6) AS dist_r6 FROM (
+  SELECT v.vid, c.cid, ({d2}) AS d2,
+    row_number() OVER (PARTITION BY v.vid
+                       ORDER BY ({d2}) ASC, c.cid ASC) AS r
+  FROM vecs v, {prev} c) WHERE r = 1""")
+    return "".join(parts)
+
+
+@_q("kmeans_refine_assign", _kmeans_sql())
+def _kmeans(spark, sf_dir):
+    """Iterative algorithm as DataFrame ops: 2 Lloyd iterations of
+    k-means (IVF centroid refinement) — broadcast centroids, argmin-L2
+    assign, decimal-exact component means — bit-reproduced by the
+    oracle's unrolled CTE generations."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return simi.kmeans_refine(emb, n_centroids=4, n_iter=2)
+
+
 _IVF_SQL = """
 WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v,
     sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n

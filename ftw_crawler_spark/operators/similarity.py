@@ -108,6 +108,74 @@ def lsh_codes(df: DataFrame, n_planes: int = DEFAULT_PLANES,
                      F.concat(*bits).alias("code"))
 
 
+def kmeans_refine(corpus: DataFrame, n_centroids: int = 4,
+                  n_iter: int = 2, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means for IVF centroid refinement — the iterative
+    DataFrame algorithm, made CROSS-ENGINE DETERMINISTIC:
+
+    - distances use sequential-fold dot products (``aggregate`` over
+      ``zip_with`` — same fold order as DuckDB's list_dot_product), so
+      ||v-c||² = |v|² − 2·v·c + |c|² is bit-stable;
+    - centroid means are computed per component with DECIMAL(28,12)
+      sums (exact, order-independent — a double sum's value depends on
+      reduction order, which no distributed engine guarantees) cast
+      back to double;
+    - init = first ``n_centroids`` vectors; ties break on lower cid.
+
+    Each iteration: broadcast centroids → assign (argmin L2) → exact
+    per-component mean → new centroid table (tiny, driver-collected:
+    K·dim doubles — the classic Lloyd's-on-Spark shape). Returns the
+    final assignment (vec_id, cid, dist_r6).
+    """
+    vecs = (corpus.select(F.col(id_col).alias("vid"),
+                          _as_double(F.col(vec_col)).alias("v"))
+            .withColumn("n2", _dot(F.col("v"), F.col("v"))))
+    spark = corpus.sparkSession
+
+    cents = sorted(
+        (int(r["vid"]), [float(x) for x in r["v"]])
+        for r in vecs.filter(F.col("vid") < n_centroids)
+        .select("vid", "v").collect())
+
+    def assign(cent_rows):
+        cdf = spark.createDataFrame(
+            [(cid, v) for cid, v in cent_rows],
+            "cid int, c array<double>").withColumn(
+                "c2", _dot(F.col("c"), F.col("c")))
+        d2 = (F.col("n2") - 2.0 * _dot(F.col("v"), F.col("c"))
+              + F.col("c2"))
+        w = Window.partitionBy("vid").orderBy(F.asc("__d2"),
+                                              F.asc("cid"))
+        return (vecs.crossJoin(F.broadcast(cdf))
+                .withColumn("__d2", d2)
+                .withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") == 1)
+                .select("vid", "cid", "v", "__d2"))
+
+    for _ in range(n_iter):
+        assigned = assign(cents)
+        comp = assigned.select(
+            "cid", F.posexplode("v").alias("j", "x"))
+        means = (comp.groupBy("cid", "j")
+                 .agg((F.sum(F.col("x").cast("decimal(28,12)"))
+                       .cast("double")
+                       / F.count(F.lit(1))).alias("m"))
+                 .groupBy("cid")
+                 .agg(F.array_sort(F.collect_list(
+                     F.struct("j", "m"))).alias("jm"))
+                 .select("cid", F.col("jm.m").alias("c")))
+        # centroids that lost every member drop out (same policy as
+        # the SQL oracle's empty groups)
+        cents = sorted((int(r["cid"]), [float(x) for x in r["c"]])
+                       for r in means.collect())
+
+    final = assign(cents)
+    return final.select(F.col("vid").alias("vec_id"), "cid",
+                        F.round(F.sqrt(F.col("__d2")), 6)
+                        .alias("dist_r6"))
+
+
 def ivf_ann(corpus: DataFrame, query_ids, k: int = 5,
             n_centroids: int = 8, n_probe: int = 2,
             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
