@@ -287,7 +287,9 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                 .drop("__csid")
                 .withColumn("op_seq", F.col("crawl_seq"))
                 .withColumn("batch_id", F.lit(batch_id))
-                .withColumn("url", F.col("path_string")))
+                .withColumn("url", F.col(config.url_field)))
+        if config.unique_field != "UID":
+            docs = docs.withColumn("UID", F.col(config.unique_field))
         sink.append_upserts(docs, batch_id)
         # count from the written delta (parquet footer metadata) — a
         # docs.count() here would re-run the whole extraction stage

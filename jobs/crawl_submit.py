@@ -31,6 +31,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="synthetic-world dir (pages/sitemaps/index0/...)")
     p.add_argument("--out", required=True,
                    help="output dir (index sink + checkpoints)")
+    p.add_argument("--config", default=None,
+                   help="python config file declaring CONFIG = "
+                        "CrawlerConfig(...) (reference bin/crawl "
+                        "config.py surface); default: the canonical "
+                        "20-field schema + the synthetic world's sites")
     p.add_argument("--url", default=None,
                    help="single-URL mode (reference bin/crawl <URL>)")
     p.add_argument("--force", action="store_true",
@@ -46,13 +51,20 @@ def main(argv: list[str] | None = None) -> int:
 
     from ftw_crawler_spark.plans.crawl import run_crawl
 
+    config = sites = None
+    if args.config:
+        from ftw_crawler_spark.config_loader import load_config_file
+        config = load_config_file(args.config)
+        if config.sites:
+            sites = config.sites
+
     spark = (SparkSession.builder.appName("ftw-crawler-spark")
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
              .getOrCreate())
     result = run_crawl(
-        spark, args.world, args.out,
+        spark, args.world, args.out, sites=sites, config=config,
         crawl_time=datetime.fromisoformat(args.crawl_time),
         batch_seconds=args.batch_seconds, url=args.url,
         force=args.force, max_batches=args.max_batches,
