@@ -21,3 +21,8 @@ DataFrame plans + vectorized pandas/Arrow UDFs:
 """
 
 __version__ = "0.1.0"
+
+from ftw_crawler_spark.config import (  # noqa: E402,F401 — public API
+    CrawlerConfig, Field, Site, default_config, default_fields)
+from ftw_crawler_spark.config_loader import load_config_file  # noqa: E402,F401
+from ftw_crawler_spark.session import get_spark  # noqa: E402,F401
