@@ -82,10 +82,16 @@ def sites_df(spark: SparkSession, sites: list) -> DataFrame:
           s.attributes) for s in sites], schema)
 
 
-def _load_world(spark: SparkSession, world_dir: str) -> dict:
+def _load_world(spark: SparkSession, world_dir: str,
+                pages_table: str | None = None) -> dict:
+    """``pages_table`` names a bucketed catalog table
+    (sources/pagestore.py) to use as the page store instead of the
+    world's plain parquet — the fetch-simulate join then reads the big
+    side in place (no per-batch shuffle of page bytes)."""
     world = {
         "sitemaps": spark.read.parquet(f"{world_dir}/sitemaps.parquet"),
-        "pages": spark.read.parquet(f"{world_dir}/pages.parquet"),
+        "pages": (spark.table(pages_table) if pages_table
+                  else spark.read.parquet(f"{world_dir}/pages.parquet")),
         "index0": spark.read.parquet(f"{world_dir}/index0.parquet"),
         "fetch_status": spark.read.parquet(
             f"{world_dir}/fetch_status.parquet"),
@@ -185,10 +191,11 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
               url: str | None = None, force: bool = False,
               max_batches: int | None = None,
               resume: bool = True,
-              order_mode: str = "reference") -> CrawlResult:
+              order_mode: str = "reference",
+              pages_table: str | None = None) -> CrawlResult:
     sites = sites if sites is not None else default_sites()
     config = config or cfg.default_config()
-    world = _load_world(spark, world_dir)
+    world = _load_world(spark, world_dir, pages_table=pages_table)
     sink = IndexSink(spark, os.path.join(out_dir, "index"))
     ckpt_root = os.path.join(out_dir, "checkpoints")
     os.makedirs(ckpt_root, exist_ok=True)

@@ -61,3 +61,21 @@ def test_bucketed_contents_equal_plain(spark, bucketed, tiny_world):
     a = {r["url"] for r in bucketed.select("url").collect()}
     b = {r["url"] for r in plain.select("url").collect()}
     assert a == b
+
+
+def test_crawl_with_bucketed_pages_identical(spark, bucketed,
+                                             tiny_world, tmp_path):
+    """The full pipeline over the bucketed page store produces the
+    exact same index as over plain parquet."""
+    from datetime import datetime
+
+    from ftw_crawler_spark.plans.crawl import run_crawl
+    t = datetime(2026, 1, 15, 12)
+    r_plain = run_crawl(spark, tiny_world, str(tmp_path / "plain"),
+                        crawl_time=t)
+    r_buck = run_crawl(spark, tiny_world, str(tmp_path / "buck"),
+                       crawl_time=t, pages_table="pages_bucketed_test")
+    cols = ["UID", "url", "Title", "SearchableText", "crawl_seq"]
+    a = {tuple(r) for r in r_plain.index().select(*cols).collect()}
+    b = {tuple(r) for r in r_buck.index().select(*cols).collect()}
+    assert a == b
