@@ -36,6 +36,11 @@ def get_spark(app_name: str = "ftw-crawler-spark",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # RAM-backed shuffle/spill dirs (e.g. /dev/shm) for benchmarks
+    # that must isolate CPU scaling from the rig's single disk
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

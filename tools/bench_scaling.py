@@ -43,6 +43,14 @@ def run_level(cpus: int, n_urls: int, mode: str) -> dict:
         "SPARK_GRAFT_BENCH_ONLY": mode,
         "SPARK_GRAFT_N_URLS": str(n_urls),
     })
+    if mode == "extract":
+        # isolate CPU scaling from the rig's single disk: RAM-backed
+        # shuffle dirs + sink-boundary measurement (see
+        # bench.bench_extract_stage docstring — a real cluster's
+        # write/shuffle I/O scales with executors; one local disk
+        # cannot)
+        env.update({"SPARK_GRAFT_LOCAL_DIR": "/dev/shm/spark-bench",
+                    "SPARK_GRAFT_STAGE_SINK": "noop"})
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, cwd=REPO, capture_output=True, text=True, check=True)
