@@ -210,7 +210,10 @@ class LastModifiedExtractor(Extractor):
         if row.lastmod is not None:
             return scalars.from_iso_datetime(row.lastmod)
         if "last-modified" in row.headers:
-            return scalars.from_iso_datetime(row.headers["last-modified"])
+            # HTTP header → RFC 2616 parse (extractors.py:339 uses
+            # from_http_datetime; both accept ISO, so the synthetic
+            # world's ISO headers and real WARC RFC 1123 headers parse)
+            return scalars.from_http_datetime(row.headers["last-modified"])
         return row.crawl_time
 
 

@@ -154,6 +154,30 @@ def to_iso_datetime(dt: datetime) -> str:
     return to_utc(dt).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
 
 
+def to_http_datetime(dt: datetime) -> str:
+    """RFC 2616 / RFC 1123 HTTP-date in GMT (``Wed, 31 Dec 2014
+    14:45:30 GMT``). timegm (UTC), NOT mktime (localtime) — same
+    pitfall the reference documents.
+
+    Reference: ftw/crawler/utils.py:40-46 (tests/test_utils.py:70-80).
+    """
+    import calendar
+    from wsgiref.handlers import format_date_time
+    timestamp = calendar.timegm(to_utc(dt).timetuple())
+    return format_date_time(timestamp)
+
+
+def from_http_datetime(datestring: str) -> datetime:
+    """Parse an RFC 2616 HTTP-date (any of its three formats: RFC 1123,
+    RFC 850, ANSI-C asctime) to an aware UTC datetime. Lenient dateutil
+    parse — the same implementation the reference uses, so non-HTTP
+    forms (ISO) are accepted too.
+
+    Reference: ftw/crawler/utils.py:49-54 (tests/test_utils.py:82-98).
+    """
+    return to_utc(dateutil.parser.parse(datestring))
+
+
 # ---------------------------------------------------------------------------
 # HTTP header helpers
 # ---------------------------------------------------------------------------

@@ -250,32 +250,39 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     from banded substring equality (pigeonhole: ≤3 differing bits over
     4 bands ⇒ ≥1 band identical)."""
     fp = simhash_fingerprints(docs, text_col, id_col)
+    # fingerprint as a single long (bit string → two 32-bit halves →
+    # shift+or; the high half may exceed 2^31 but Java's << wraps into
+    # the right two's-complement bit pattern) — the Hamming verify is
+    # then one codegen bit_count(xor) per pair instead of an interpreted
+    # 64-element string zip_with, and the band self-join shuffles 8-byte
+    # longs instead of 64-char strings.
+    def _as_long(col):
+        hi = F.conv(F.substring(col, 1, 32), 2, 10).cast("long")
+        lo = F.conv(F.substring(col, 33, 32), 2, 10).cast("long")
+        return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+    fp = fp.withColumn("__shl", _as_long(F.col("simhash")))
     width = 64 // bands
     band_arr = F.array(*[
         F.struct(F.lit(i).alias("band_idx"),
                  F.substring("simhash", i * width + 1, width)
                  .alias("band_val"))
         for i in range(bands)])
-    banded = (fp.select(id_col, "simhash",
+    banded = (fp.select(id_col, "__shl",
                         F.explode(band_arr).alias("b"))
-              .select(id_col, "simhash",
+              .select(id_col, "__shl",
                       F.col("b.band_idx").alias("band_idx"),
                       F.col("b.band_val").alias("band_val")))
     a = banded.select(F.col(id_col).alias("a"),
-                      F.col("simhash").alias("sh_a"), "band_idx",
+                      F.col("__shl").alias("sh_a"), "band_idx",
                       "band_val")
     b = banded.select(F.col(id_col).alias("b"),
-                      F.col("simhash").alias("sh_b"), "band_idx",
+                      F.col("__shl").alias("sh_b"), "band_idx",
                       "band_val")
     cand = (a.join(b, ["band_idx", "band_val"])
             .filter(F.col("a") < F.col("b"))
             .select("a", "b", "sh_a", "sh_b").distinct())
-    # hamming over the bit strings (zip chars)
-    ham = F.size(F.filter(
-        F.zip_with(F.split(F.col("sh_a"), ""),
-                   F.split(F.col("sh_b"), ""),
-                   lambda x, y: x != y),
-        lambda v: v))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (cand.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("a", "b", "hamming"))

@@ -131,7 +131,9 @@ class FrontierStream:
                 .drop("__csid")
                 .withColumn("op_seq", F.col("crawl_seq"))
                 .withColumn("batch_id", F.lit(batch_id))
-                .withColumn("url", F.col("path_string")))
+                .withColumn("url", F.col(self.config.url_field)))
+        if self.config.unique_field != "UID":
+            docs = docs.withColumn("UID", F.col(self.config.unique_field))
         self.sink.append_upserts(docs, batch_id=f"stream_{batch_id:09d}")
         # fold this batch's urls into the broadcast filter instead of a
         # full rebuild (the long-running-stream path): the delta filter

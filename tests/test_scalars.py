@@ -112,6 +112,35 @@ def test_to_iso_format_includes_microseconds():
     assert scalars.to_iso_datetime(dt) == "2014-12-31T12:30:45.123456Z"
 
 
+def test_to_http_datetime_tz_aware_golden():
+    # reference tests/test_utils.py:70-80 (CET → GMT)
+    from datetime import timedelta
+    cet = timezone(timedelta(hours=1))
+    dt = datetime(2014, 12, 31, 15, 45, 30, 999, tzinfo=cet)
+    assert scalars.to_http_datetime(dt) == "Wed, 31 Dec 2014 14:45:30 GMT"
+
+
+def test_to_http_datetime_naive_assumed_utc():
+    dt = datetime(2014, 6, 30, 15, 45, 30)
+    assert scalars.to_http_datetime(dt) == "Mon, 30 Jun 2014 15:45:30 GMT"
+
+
+def test_from_http_datetime_three_rfc2616_formats():
+    # reference tests/test_utils.py:82-98 — RFC 1123, RFC 850, asctime
+    dt = datetime(2014, 6, 30, 15, 45, 30, tzinfo=timezone.utc)
+    assert scalars.from_http_datetime("Mon, 30 Jun 2014 15:45:30 GMT") == dt
+    assert scalars.from_http_datetime("Monday, 30-Jun-14 15:45:30 GMT") == dt
+    assert scalars.from_http_datetime("Mon Jun 30 15:45:30 2014") == dt
+    # winter date too (reference guards against DST issues)
+    dt_w = datetime(2014, 12, 31, 15, 45, 30, tzinfo=timezone.utc)
+    assert scalars.from_http_datetime("Wed, 31 Dec 2014 15:45:30 GMT") == dt_w
+
+
+def test_http_datetime_roundtrip():
+    dt = datetime(2015, 3, 7, 8, 9, 10, tzinfo=timezone.utc)
+    assert scalars.from_http_datetime(scalars.to_http_datetime(dt)) == dt
+
+
 # --- content-type / filename / headers ---------------------------------------
 
 def test_get_content_type_strips_charset():

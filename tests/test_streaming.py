@@ -67,6 +67,29 @@ def test_stream_no_duplicates_after_overlap(stream_run, frontier, spark,
     assert idx.count() == all_backed.count()
 
 
+def test_stream_custom_url_field(spark, tiny_world, frontier,
+                                 tmp_path_factory):
+    """A config whose url field is NOT named path_string must stream
+    identically (frontier_stream once hardcoded the default name)."""
+    from ftw_crawler_spark import config as cfg
+    fields = cfg.default_fields()
+    for f in fields:
+        if f.name == "path_string":
+            f.name = "doc_url"
+    config = cfg.CrawlerConfig(sites=[], fields=fields,
+                               url_field="doc_url")
+    delta_dir = str(tmp_path_factory.mktemp("deltas_custom"))
+    out_dir = str(tmp_path_factory.mktemp("stream_out_custom"))
+    frontier.filter(F.col("site_id") == 4).write.mode("append") \
+        .parquet(delta_dir)
+    fs = FrontierStream(spark, tiny_world, out_dir, config=config)
+    fs.run_available(delta_dir)
+    idx = fs.index()
+    assert "doc_url" in idx.columns and "path_string" not in idx.columns
+    assert idx.count() > 0
+    assert idx.filter(F.col("url") != F.col("doc_url")).count() == 0
+
+
 def test_stream_text_byte_identical(stream_run, spark, tiny_world):
     fs, _ = stream_run
     pages = spark.read.parquet(f"{tiny_world}/pages.parquet")
