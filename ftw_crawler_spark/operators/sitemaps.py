@@ -100,33 +100,108 @@ def parse_urlset_udf(xml: pd.Series, gz: pd.Series) -> pd.Series:
         for x, g in zip(xml, gz)])
 
 
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def parse_sitemapindex_udf(xml: pd.Series, gz: pd.Series) -> pd.Series:
+    """<sitemapindex> body → ordered child sitemap locs (sitemap.py:211-219),
+    evaluated executor-side so index bodies are never collected."""
+    return pd.Series([
+        [e["loc"] for e in parse_entries(x, bool(g),
+                                         container="sitemapindex",
+                                         child="sitemap") if e["loc"]]
+        for x, g in zip(xml, gz)])
+
+
 # ---------------------------------------------------------------------------
 # discovery
 # ---------------------------------------------------------------------------
 
 
-def discover_sitemaps(spark: SparkSession, sites: list,
-                      sitemaps: DataFrame) -> DataFrame:
-    """Resolve each site's ordered sitemap list against the sitemaps
-    table, reproducing the reference's discovery order. Returns a small
-    DataFrame (site_id, sitemap_url, sitemap_ord) — one row per sitemap
-    a real crawl would fetch.
-    """
-    # metadata probe set: don't pull XML bodies for plain sitemaps
-    meta = {r["sitemap_url"]: (r["is_index"], r["gz"])
-            for r in sitemaps.select("sitemap_url", "is_index", "gz")
-            .collect()}
-    index_bodies = {r["sitemap_url"]: (r["xml"], r["gz"])
-                    for r in sitemaps.filter(F.col("is_index"))
-                    .select("sitemap_url", "xml", "gz").collect()}
+DISCOVERY_SCHEMA = "site_id int, sitemap_url string, sitemap_ord int"
 
-    rows = []
+
+def discover_sitemaps(spark: SparkSession, sites: list,
+                      sitemaps: DataFrame,
+                      errors: list | None = None) -> DataFrame:
+    """Resolve each site's ordered sitemap list against the sitemaps
+    table, reproducing the reference's discovery order (_resolve_site
+    is the driver-side reference semantics this must match). Returns
+    (site_id, sitemap_url, sitemap_ord) — one row per sitemap a real
+    crawl would fetch.
+
+    Executor-side: the only driver-side inputs are the site configs
+    themselves (4 probe URLs per site). Probes semi-join the sitemaps
+    relation — no ``.collect()`` of sitemap metadata or bodies — and
+    sitemap-INDEX bodies are parsed where they live via
+    ``parse_sitemapindex_udf``. Only *failed* sites are collected (for
+    the error report).
+
+    Per-site error isolation (P2, reference main.py:80-88): with
+    ``errors`` given, a site that resolves to no sitemap appends
+    ``{site_id, url, error}`` and is skipped — the other sites crawl
+    on. With ``errors=None`` (strict mode, direct callers/tests) the
+    first failure raises ``NoSitemapFound`` like the reference's
+    per-site ``crawl_and_index``.
+    """
+    static_rows = []
+    probed = []
     for site in sites:
-        resolved = _resolve_site(site, meta, index_bodies)
-        for ord_, sm_url in enumerate(resolved):
-            rows.append((site.site_id, sm_url, ord_))
-    return spark.createDataFrame(
-        rows, "site_id int, sitemap_url string, sitemap_ord int")
+        if site.sitemap_urls:
+            # 1. static config short-circuits discovery (sitemap.py:32-34)
+            static_rows += [(site.site_id, u, i)
+                            for i, u in enumerate(site.sitemap_urls)]
+        else:
+            probed.append(site)
+    static_df = spark.createDataFrame(static_rows, DISCOVERY_SCHEMA)
+    if not probed:
+        return static_df
+
+    # 2./3. probe {site.url}/sitemap_index.xml[.gz] (must BE an index,
+    # sitemap.py:36-48) then {site.url}/sitemap.xml[.gz] (must NOT be
+    # one, sitemap.py:50-52, 158-175); first valid probe wins.
+    names = SITEMAP_INDEX_NAMES + SITEMAP_NAMES
+    probe_rows = [
+        (s.site_id, s.url, urljoin(s.url, name), ord_,
+         ord_ < len(SITEMAP_INDEX_NAMES))
+        for s in probed for ord_, name in enumerate(names)]
+    probes = spark.createDataFrame(
+        probe_rows, "site_id int, site_url string, sitemap_url string, "
+                    "probe_ord int, wants_index boolean")
+    hits = (sitemaps.select("sitemap_url", "is_index", "gz", "xml")
+            .join(F.broadcast(probes), "sitemap_url", "inner")
+            .filter(F.col("wants_index") == F.col("is_index"))
+            # only index bodies are parsed during discovery — don't
+            # drag plain-sitemap bodies through the min_by shuffle
+            .withColumn("xml", F.when(F.col("wants_index"),
+                                      F.col("xml"))))
+    chosen = (hits.groupBy("site_id")
+              .agg(F.min_by(
+                  F.struct("probe_ord", "sitemap_url", "wants_index",
+                           "gz", "xml"), F.col("probe_ord")).alias("c"))
+              .select("site_id", "c.sitemap_url", "c.wants_index",
+                      "c.gz", "c.xml"))
+    idx_children = (
+        chosen.filter(F.col("wants_index"))
+        .select("site_id",
+                parse_sitemapindex_udf(F.col("xml"), F.col("gz"))
+                .alias("locs"))
+        .select("site_id",
+                F.posexplode("locs").alias("sitemap_ord", "sitemap_url"))
+        .select("site_id", "sitemap_url", "sitemap_ord"))
+    singles = chosen.filter(~F.col("wants_index")).select(
+        "site_id", "sitemap_url", F.lit(0).alias("sitemap_ord"))
+
+    probed_df = spark.createDataFrame(
+        [(s.site_id, s.url) for s in probed], "site_id int, url string")
+    failed = (probed_df.join(chosen.select("site_id"), "site_id",
+                             "left_anti").collect())
+    if failed:
+        if errors is None:
+            raise NoSitemapFound(
+                f"No sitemap found for {failed[0]['url']}!")
+        for r in sorted(failed, key=lambda r: r["site_id"]):
+            errors.append({"site_id": r["site_id"], "url": r["url"],
+                           "error": f"No sitemap found for {r['url']}!"})
+    return static_df.unionByName(idx_children).unionByName(singles)
 
 
 def _resolve_site(site, meta, index_bodies) -> list:
@@ -190,14 +265,19 @@ def expand_frontier(discovered: DataFrame, sitemaps: DataFrame) -> DataFrame:
 
 
 def build_frontier(spark: SparkSession, sites: list,
-                   sitemaps: DataFrame) -> DataFrame:
+                   sitemaps: DataFrame,
+                   errors: list | None = None) -> DataFrame:
     """Discovery + expansion + the deterministic global crawl order key.
 
     ``crawl_seq`` reproduces the reference's nested-loop total order:
     config-declaration site order × index sitemap order × document url
     order (main.py:75,107,113). Computed from the ordinal triple (no
-    window over the full frontier needed — the triple IS the order)."""
-    discovered = discover_sitemaps(spark, sites, sitemaps)
+    window over the full frontier needed — the triple IS the order).
+
+    ``errors`` (optional list): per-site discovery failures are recorded
+    there and skipped instead of aborting the run (see
+    discover_sitemaps)."""
+    discovered = discover_sitemaps(spark, sites, sitemaps, errors=errors)
     frontier = expand_frontier(discovered, sitemaps)
     # dense rank not required: any monotone function of the triple works
     return frontier.withColumn(

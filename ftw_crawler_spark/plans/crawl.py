@@ -231,11 +231,25 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
         sink.write_base_files(f"{world_dir}/index0.parquet")
         sdf = sites_df(spark, sites)
 
-        frontier = build_frontier(spark, sites, world["sitemaps"]).cache()
+        # P2 per-site error isolation (main.py:80-88): a site whose
+        # sitemap discovery fails is recorded and skipped; the rest of
+        # the run proceeds. The error metrics row is the analog of the
+        # reference's failure notification (slack.py:15-61).
+        site_errors: list = []
+        frontier = build_frontier(spark, sites, world["sitemaps"],
+                                  errors=site_errors).cache()
+        for err in site_errors:
+            metrics.append({"batch": -1, "event": "site_error", **err})
 
         # purge BEFORE crawling, on the full sitemap membership even in
-        # single-URL mode (main.py:102 runs before the URL filter)
-        purged = purge_candidates(sink.current(), sdf, frontier)
+        # single-URL mode (main.py:102 runs before the URL filter) —
+        # but ONLY for sites whose sitemaps resolved: the reference
+        # purges inside the per-site try block, so a dead site's docs
+        # are never purged (its membership is unknown, not empty)
+        failed_ids = {e["site_id"] for e in site_errors}
+        ok_sdf = sites_df(
+            spark, [s for s in sites if s.site_id not in failed_ids])
+        purged = purge_candidates(sink.current(), ok_sdf, frontier)
         sink.append_deletes(purged, batch_id=start_batch)
         t_purge = time.perf_counter()
 

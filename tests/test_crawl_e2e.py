@@ -275,3 +275,31 @@ def test_priority_mode_same_final_state(spark, world, engine_run,
     rows = (r.index().filter(F.col("batch_id").isNotNull())
             .select("url", "batch_id", "crawl_seq").collect())
     assert r.batches >= 2
+
+
+def test_site_error_isolated(spark, world, engine_run, tmp_path_factory):
+    """P2 per-site error isolation (reference main.py:80-88): one site
+    with no discoverable sitemap is recorded + skipped; every other
+    site's crawl and purge are identical to a run without it — and the
+    dead site's indexed docs are NOT purged (its membership is unknown,
+    not empty: the foreign docs live under its url prefix)."""
+    sites = default_sites() + [
+        cfg.Site(5, "http://foreign.example/", sleeptime=0.05)]
+    out = str(tmp_path_factory.mktemp("siteerr"))
+    r = run_crawl(spark, world, out, sites=sites, crawl_time=CRAWL_TIME,
+                  batch_seconds=5.0)
+    errs = [m for m in r.metrics if m.get("event") == "site_error"]
+    assert len(errs) == 1
+    assert errs[0]["site_id"] == 5
+    assert "No sitemap found for http://foreign.example/" in \
+        errs[0]["error"]
+    # dead site's docs survive purge
+    foreign = r.index().filter(
+        F.col("url").startswith("http://foreign.example/"))
+    assert foreign.count() == 3
+    # rest of the run is bit-identical to the no-dud-site run
+    a = {(x["UID"], x["url"], x["Title"]) for x in
+         engine_run.index().select("UID", "url", "Title").collect()}
+    b = {(x["UID"], x["url"], x["Title"]) for x in
+         r.index().select("UID", "url", "Title").collect()}
+    assert a == b
