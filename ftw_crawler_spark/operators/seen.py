@@ -1,24 +1,39 @@
-"""URL-seen filtering: partitioned bloom filter + exact anti-join backstop.
+"""URL-seen filtering: PARTITIONED bloom filter + exact anti-join backstop.
 
 North-rule component (M4): at 10^10-URL frontier scale the
 frontier⋈index equi-join for the incremental check
 (operators/incremental.py) would shuffle every frontier row. Instead a
-bloom filter is built over indexed urls — per partition, as a numpy bit
-array over ``xxhash64(url)`` double-hashes (Kirsch-Mitzenmacher:
-h1 + i*h2), OR-merged on the driver, and broadcast to the frontier
-scan. Never-indexed urls (the common case on a growing crawl) skip the
+bloom filter is built over indexed urls and broadcast to the frontier
+scan: never-indexed urls (the common case on a growing crawl) skip the
 join entirely; candidate positives are verified by the EXACT join — a
 false positive can only cost a lookup, never drop or misclassify a URL
 (SURVEY.md §4.2).
 
-The build is one pass, map-side only (no shuffle of urls): each task
-emits its partition's filter bytes; the driver ORs ~num_partitions
-small arrays. The probe is an Arrow-vectorized pandas UDF over the
-broadcast bytes — numpy gather, no per-row Python.
+The filter is SHARDED by ``pmod(xxhash64(url, seed), n_shards)``:
+
+- **build**: url hashes are repartitioned by shard, and each task
+  materializes only the ≤8 MiB bit arrays of the shards in its
+  partition — never the whole filter. At the 10^10-URL / fpp 0.03
+  design point the monolithic array is ~9 GB per task; a shard is
+  ``n_bits/n_shards`` (2^26 bits → 2048 shards of 8 MiB).
+- **merge**: because all rows of a shard land in one partition, the
+  driver receives exactly one (shard, bits) row per non-empty shard
+  and ORs it into place — O(total bytes) once, not
+  O(num_partitions × total).
+- **probe**: each url routes to its shard (same hash) and tests k
+  double-hashed positions (Kirsch-Mitzenmacher: h1 + i·h2) inside that
+  shard only. On a real cluster the shards can therefore be
+  distributed (per-shard broadcast or a (shard, bits) state table
+  joined shard-to-shard) instead of shipping one giant blob; in-process
+  the concatenated array serves all shards.
+
+The probe is an Arrow-vectorized pandas UDF over the broadcast bytes —
+numpy gather, no per-row Python.
 
 (Spark's internal BloomFilter aggregate is not SQL-exposed in this
 build, and rolling our own keeps the filter format stable for the
-checkpoint state table.)
+checkpoint state table and gives the shard layout the north rule asks
+for.)
 """
 
 from __future__ import annotations
@@ -31,7 +46,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_MAGIC = b"BLM1"
+_MAGIC = b"BLS2"
+_HEADER = struct.Struct("<QII")       # n_bits (per shard), k, n_shards
+_SHARD_SEED = 0x5A4D
+_H2_SEED = 0x5EED
+_SHARD_MAX_BITS = 1 << 26             # 8 MiB bit array per shard
 
 
 def _params(expected_items: int, fpp: float) -> tuple:
@@ -44,8 +63,8 @@ def _params(expected_items: int, fpp: float) -> tuple:
 
 def _positions(h1: np.ndarray, h2: np.ndarray, k: int,
                n_bits: int) -> np.ndarray:
-    """(len, k) bit positions via double hashing; n_bits is 2^m so the
-    modulo is a mask."""
+    """(len, k) within-shard bit positions via double hashing; n_bits is
+    2^m so the modulo is a mask."""
     mask = n_bits - 1
     idx = np.empty((len(h1), k), dtype=np.int64)
     for i in range(k):
@@ -54,55 +73,76 @@ def _positions(h1: np.ndarray, h2: np.ndarray, k: int,
 
 
 def bloom_shape(bloom_bytes: bytes) -> tuple:
-    """(n_bits, k) of a serialized filter."""
+    """(n_bits_per_shard, k, n_shards) of a serialized filter."""
     assert bloom_bytes[:4] == _MAGIC
-    return struct.unpack("<QI", bloom_bytes[4:16])
+    return _HEADER.unpack(bloom_bytes[4:4 + _HEADER.size])
+
+
+def _hash_cols(url_col: str, n_shards: int) -> list:
+    return [
+        F.pmod(F.xxhash64(F.col(url_col), F.lit(_SHARD_SEED)),
+               F.lit(n_shards)).cast("int").alias("s"),
+        F.xxhash64(F.col(url_col)).alias("h1"),
+        F.xxhash64(F.col(url_col), F.lit(_H2_SEED)).alias("h2"),
+    ]
 
 
 def build_url_bloom(df: DataFrame, url_col: str = "url",
                     expected_items: int | None = None,
                     fpp: float = 0.03,
-                    shape: tuple | None = None) -> bytes | None:
-    """One-pass distributed build. Returns serialized filter
-    (header: magic, n_bits, k) or None for an empty relation.
+                    shape: tuple | None = None,
+                    n_shards: int | None = None) -> bytes | None:
+    """One-pass distributed sharded build. Returns the serialized filter
+    (header: magic, per-shard n_bits, k, n_shards) or None for an empty
+    relation.
 
-    ``shape=(n_bits, k)`` pins the geometry so the result is OR-merge
-    compatible with an existing filter (incremental per-batch deltas)."""
+    ``shape=(n_bits, k, n_shards)`` pins the geometry so the result is
+    OR-merge compatible with an existing filter (incremental per-batch
+    deltas, streaming/frontier_stream.py)."""
     if shape is not None:
-        n_bits, k = shape
+        n_bits, k, n_shards = shape
     else:
         if expected_items is None:
             expected_items = max(1024, df.count())
-        n_bits, k = _params(expected_items, fpp)
-    hashes = df.select(
-        F.xxhash64(F.col(url_col)).alias("h1"),
-        F.xxhash64(F.col(url_col), F.lit(0x5EED)).alias("h2"))
+        total_bits, k = _params(expected_items, fpp)
+        if n_shards is None:
+            n_shards = max(1, total_bits // _SHARD_MAX_BITS)
+        n_bits = total_bits // n_shards       # both powers of two
+    shard_bytes = n_bits // 8
 
-    n_bytes = n_bits // 8
+    hashes = df.select(*_hash_cols(url_col, n_shards))
+    if n_shards > 1:
+        # co-locate each shard's rows: a task then builds ONLY the
+        # shards in its partition (≈1 in expectation), and the driver
+        # sees exactly one row per non-empty shard
+        hashes = hashes.repartition(n_shards, "s")
 
     def partition_filter(pdfs):
-        bits = np.zeros(n_bytes, dtype=np.uint8)
-        seen_any = False
+        shards: dict[int, np.ndarray] = {}
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            seen_any = True
-            h1 = pdf["h1"].to_numpy(dtype=np.int64)
-            h2 = pdf["h2"].to_numpy(dtype=np.int64)
-            idx = _positions(h1, h2, k, n_bits).ravel()
-            np.bitwise_or.at(bits, idx >> 3,
-                             np.uint8(1) << (idx & 7).astype(np.uint8))
-        if seen_any:
-            yield pd.DataFrame({"bits": [bits.tobytes()]})
+            for s_val, grp in pdf.groupby("s"):
+                bits = shards.setdefault(
+                    int(s_val), np.zeros(shard_bytes, dtype=np.uint8))
+                idx = _positions(grp["h1"].to_numpy(dtype=np.int64),
+                                 grp["h2"].to_numpy(dtype=np.int64),
+                                 k, n_bits).ravel()
+                np.bitwise_or.at(bits, idx >> 3,
+                                 np.uint8(1) << (idx & 7).astype(np.uint8))
+        for s_val, bits in shards.items():
+            yield pd.DataFrame({"s": [s_val], "bits": [bits.tobytes()]})
 
     parts = hashes.mapInPandas(partition_filter,
-                               "bits binary").collect()
+                               "s int, bits binary").collect()
     if not parts:
         return None
-    merged = np.zeros(n_bytes, dtype=np.uint8)
+    merged = np.zeros(shard_bytes * n_shards, dtype=np.uint8)
     for row in parts:
-        merged |= np.frombuffer(row["bits"], dtype=np.uint8)
-    return _MAGIC + struct.pack("<QI", n_bits, k) + merged.tobytes()
+        off = row["s"] * shard_bytes
+        merged[off:off + shard_bytes] |= np.frombuffer(row["bits"],
+                                                       dtype=np.uint8)
+    return _MAGIC + _HEADER.pack(n_bits, k, n_shards) + merged.tobytes()
 
 
 def merge_blooms(a: bytes | None, b: bytes | None) -> bytes | None:
@@ -111,30 +151,30 @@ def merge_blooms(a: bytes | None, b: bytes | None) -> bytes | None:
         return b
     if b is None:
         return a
-    assert a[:16] == b[:16], "bloom shape mismatch"
-    header = a[:16]
-    merged = (np.frombuffer(a[16:], dtype=np.uint8)
-              | np.frombuffer(b[16:], dtype=np.uint8))
-    return header + merged.tobytes()
+    hdr = 4 + _HEADER.size
+    assert a[:hdr] == b[:hdr], "bloom shape mismatch"
+    merged = (np.frombuffer(a[hdr:], dtype=np.uint8)
+              | np.frombuffer(b[hdr:], dtype=np.uint8))
+    return a[:hdr] + merged.tobytes()
 
 
 def might_contain_col(bloom_bytes: bytes, url_col: str = "loc"):
-    """Vectorized membership probe over the broadcast filter bytes."""
-    assert bloom_bytes[:4] == _MAGIC
-    n_bits, k = struct.unpack("<QI", bloom_bytes[4:16])
-    bits = np.frombuffer(bloom_bytes[16:], dtype=np.uint8)
+    """Vectorized shard-routed membership probe over the broadcast
+    filter bytes."""
+    n_bits, k, n_shards = bloom_shape(bloom_bytes)
+    bits = np.frombuffer(bloom_bytes[4 + _HEADER.size:], dtype=np.uint8)
 
     @F.pandas_udf("boolean")
-    def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+    def probe(s: pd.Series, h1: pd.Series, h2: pd.Series) -> pd.Series:
         if len(h1) == 0:
             return pd.Series([], dtype=bool)
         idx = _positions(h1.to_numpy(dtype=np.int64),
                          h2.to_numpy(dtype=np.int64), k, n_bits)
-        hit = (bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        g = idx + (s.to_numpy(dtype=np.int64) * n_bits)[:, None]
+        hit = (bits[g >> 3] >> (g & 7).astype(np.uint8)) & 1
         return pd.Series(hit.all(axis=1))
 
-    return probe(F.xxhash64(F.col(url_col)),
-                 F.xxhash64(F.col(url_col), F.lit(0x5EED)))
+    return probe(*_hash_cols(url_col, n_shards))
 
 
 def split_by_bloom(frontier: DataFrame, bloom_bytes: bytes | None,

@@ -1,0 +1,77 @@
+"""Sharded URL-seen bloom filter: shard geometry, no-false-negative
+guarantee, OR-merge exactness (the streaming incremental path), and a
+loose false-positive sanity bound."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftw_crawler_spark.operators import seen
+
+
+@pytest.fixture(scope="module")
+def urls(spark):
+    return spark.range(2000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 10).cast("string"),
+                 F.lit(".example/p/"), F.col("id").cast("string"))
+        .alias("url")).cache()
+
+
+def test_sharded_build_shape(spark, urls):
+    blm = seen.build_url_bloom(urls, "url", expected_items=2000,
+                               n_shards=8)
+    n_bits, k, n_shards = seen.bloom_shape(blm)
+    assert n_shards == 8
+    total_bytes = len(blm) - 4 - seen._HEADER.size
+    # per-shard build/merge unit is exactly total/K — the task-memory
+    # bound the partitioned design exists for
+    assert n_bits // 8 == total_bytes // n_shards
+    assert n_bits * n_shards == total_bytes * 8
+
+
+def test_no_false_negatives(spark, urls):
+    blm = seen.build_url_bloom(urls, "url", expected_items=2000,
+                               n_shards=8)
+    new, cand = seen.split_by_bloom(
+        urls.withColumnRenamed("url", "loc"), blm, "loc")
+    assert new.count() == 0          # every inserted url is maybe-seen
+    assert cand.count() == 2000
+
+
+def test_false_positive_rate_sane(spark, urls):
+    blm = seen.build_url_bloom(urls, "url", expected_items=2000,
+                               fpp=0.03, n_shards=8)
+    other = spark.range(2000, 6000).select(
+        F.concat(F.lit("https://other.example/"),
+                 F.col("id").cast("string")).alias("loc"))
+    _, cand = seen.split_by_bloom(other, blm, "loc")
+    assert cand.count() / 4000 < 0.1
+
+
+def test_merge_equals_union_build(spark, urls):
+    even = urls.filter(F.xxhash64("url") % 2 == 0)
+    odd = urls.filter(F.xxhash64("url") % 2 != 0)
+    blm_a = seen.build_url_bloom(even, "url", expected_items=2000,
+                                 n_shards=8)
+    shape = seen.bloom_shape(blm_a)
+    blm_b = seen.build_url_bloom(odd, "url", shape=shape)
+    merged = seen.merge_blooms(blm_a, blm_b)
+    union_blm = seen.build_url_bloom(urls, "url", shape=shape)
+    assert merged == union_blm       # OR-merge is byte-exact
+
+
+def test_empty_relation_builds_none(spark, urls):
+    assert seen.build_url_bloom(urls.limit(0), "url",
+                                expected_items=16) is None
+    new, cand = seen.split_by_bloom(urls, None, "url")
+    assert new.count() == 0 and cand.count() == 2000
+
+
+def test_auto_shard_count_scales_with_size(spark, urls):
+    # small filter → 1 shard; the 10^10-design point → n_bits/2^26
+    blm = seen.build_url_bloom(urls, "url", expected_items=2000)
+    assert seen.bloom_shape(blm)[2] == 1
+    total_bits, _ = seen._params(10_000_000_000, 0.03)
+    assert total_bits // max(1, total_bits // seen._SHARD_MAX_BITS) \
+        == seen._SHARD_MAX_BITS
