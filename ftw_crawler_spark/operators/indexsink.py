@@ -30,6 +30,22 @@ class IndexSink:
         self.root = root
         self.base_path = os.path.join(root, "base")
         self.delta_root = os.path.join(root, "delta")
+        self._recover_compaction()
+
+    def _recover_compaction(self) -> None:
+        """Adopt a completed-but-unswapped compaction snapshot after a
+        crash: if the base is gone (or was renamed aside) and a
+        _SUCCESS-marked tmp exists, finish the swap; otherwise discard
+        the partial tmp. Replaying delta dirs over an adopted snapshot
+        is idempotent (upsert-by-UID LWW)."""
+        import shutil
+        tmp = self.base_path + ".compact-tmp"
+        old = self.base_path + ".old"
+        if self._exists(tmp) and not self._exists(self.base_path):
+            shutil.rmtree(self.base_path, ignore_errors=True)
+            os.rename(tmp, self.base_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
 
     # -- write side ---------------------------------------------------------
 
@@ -113,18 +129,27 @@ class IndexSink:
                 .drop("__rn", "is_delete"))
 
     def compact(self) -> None:
-        """Fold the log into a fresh base snapshot."""
+        """Fold the log into a fresh base snapshot. Crash-safe: the
+        snapshot is fully written (with _SUCCESS) before the old base
+        is moved aside, and every intermediate state is recoverable —
+        either the old base is still in place, or the _SUCCESS-marked
+        tmp is adopted by ``_recover_compaction``; leftover delta dirs
+        replay idempotently over the compacted base."""
         cur = self.current()
         if cur is None:
             return
-        tmp = self.base_path + ".tmp"
+        import shutil
+        tmp = self.base_path + ".compact-tmp"
+        old = self.base_path + ".old"
         (cur.withColumn("op_seq", F.lit(-2).cast("long"))
             .withColumn("is_delete", F.lit(False))
             .write.mode("overwrite").parquet(tmp))
-        import shutil
-        shutil.rmtree(self.base_path, ignore_errors=True)
-        shutil.rmtree(self.delta_root, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(self.base_path):
+            os.rename(self.base_path, old)
         os.rename(tmp, self.base_path)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(self.delta_root, ignore_errors=True)
 
     @staticmethod
     def _exists(path: str) -> bool:

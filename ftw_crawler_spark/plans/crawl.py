@@ -27,10 +27,20 @@ host_state); crawl_seq is carried into the index (lineage) so the
 reference's global order is reconstructible; crawl_time is pinned in
 run_meta.json so resume is bit-stable (no wall-clock in the plan).
 
-Resume: checkpoints/batch=K holds remaining-frontier + host-state
-parquet and a commit marker written LAST — a crash between sink append
-and commit replays batch K idempotently (upsert-by-UID makes the
-replay a no-op).
+Resume: checkpoints/batch=K holds host-state parquet plus EITHER a
+full remaining-frontier snapshot (batch -1 and every
+``ckpt_full_every`` batches) OR the batch's tiny *processed* delta
+(the politeness-capped crawl_seq set), with a commit marker written
+LAST. Delta checkpoints bound write amplification: a full rewrite per
+batch is O(frontier × batches) at a 10^10-row frontier, while a delta
+is proportional to the batch. Resume reconstructs
+``remaining = last_full_snapshot ANTI-JOIN ∪(processed deltas)``;
+a crash between sink append and commit replays batch K idempotently
+(upsert-by-UID makes the replay a no-op).
+
+Compaction: when the sink's MOR delta log exceeds ``compact_every``
+generations it is folded into a fresh base snapshot mid-run, bounding
+the read-side LWW window cost (the Iceberg MOR maintenance analog).
 """
 
 from __future__ import annotations
@@ -192,7 +202,9 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
               max_batches: int | None = None,
               resume: bool = True,
               order_mode: str = "reference",
-              pages_table: str | None = None) -> CrawlResult:
+              pages_table: str | None = None,
+              ckpt_full_every: int = 8,
+              compact_every: int | None = 16) -> CrawlResult:
     sites = sites if sites is not None else default_sites()
     config = config or cfg.default_config()
     world = _load_world(spark, world_dir, pages_table=pages_table)
@@ -213,10 +225,8 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
             meta = json.load(fh)
         crawl_time = datetime.fromisoformat(meta["crawl_time"])
         last = committed[-1]
-        remaining = spark.read.parquet(
-            os.path.join(ckpt_root, f"batch={last}", "remaining"))
-        host_state = spark.read.parquet(
-            os.path.join(ckpt_root, f"batch={last}", "host_state"))
+        remaining, host_state, last_full = _resume_state(
+            spark, ckpt_root, committed)
         metrics = meta.get("metrics", [])
         start_batch = last + 1
     else:
@@ -275,6 +285,7 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
         host_state = politeness.initial_host_state(remaining, sdf)
         _write_ckpt(ckpt_root, -1, remaining, host_state)
         remaining, host_state = _read_ckpt(spark, ckpt_root, -1)
+        last_full = -1
         start_batch = 0
 
     sdf = sites_df(spark, sites)
@@ -318,12 +329,36 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
             os.path.join(sink.delta_root, f"batch={batch_id}")).count()
         t_extract = time.perf_counter()
 
+        # MOR maintenance: fold the delta log into the base when it
+        # exceeds the generation budget (read-side LWW window stays
+        # bounded however long the crawl runs)
+        compacted = False
+        if compact_every and os.path.isdir(sink.delta_root) and \
+                len(os.listdir(sink.delta_root)) >= compact_every:
+            sink.compact()
+            compacted = True
+
         host_state = politeness.updated_host_state(
             host_state, batch.filter(F.col("n_429") > 0))
-        remaining = remaining.join(batch.select("crawl_seq"),
-                                   "crawl_seq", "left_anti")
-        _write_ckpt(ckpt_root, batch_id, remaining, host_state)
-        remaining, host_state = _read_ckpt(spark, ckpt_root, batch_id)
+        if batch_id - last_full >= ckpt_full_every:
+            # periodic full snapshot: truncates the anti-join lineage
+            # chain and re-anchors resume
+            remaining = remaining.join(batch.select("crawl_seq"),
+                                       "crawl_seq", "left_anti")
+            _write_ckpt(ckpt_root, batch_id, remaining, host_state)
+            remaining, host_state = _read_ckpt(spark, ckpt_root,
+                                               batch_id)
+            last_full = batch_id
+        else:
+            # delta checkpoint: bytes proportional to the batch, not
+            # the frontier — the anti-join reads the delta back from
+            # disk so lineage stays a short chain of file scans
+            _write_delta_ckpt(ckpt_root, batch_id,
+                              batch.select("crawl_seq"), host_state)
+            processed, host_state = _read_delta_ckpt(
+                spark, ckpt_root, batch_id)
+            remaining = remaining.join(processed, "crawl_seq",
+                                       "left_anti")
         # per-host lineage/metrics (north rule): admitted rows per host
         # this batch — cheap, the batch is cached and tiny after the
         # politeness cap
@@ -331,7 +366,7 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                     batch.groupBy("host").agg(
                         F.count(F.lit(1)).alias("n")).collect()}
         metrics.append({"batch": batch_id, "admitted": admitted,
-                        "indexed": indexed,
+                        "indexed": indexed, "compacted": compacted,
                         "per_host_admitted": per_host,
                         "sec_schedule": round(t_sched - t0, 3),
                         "sec_extract_sink":
@@ -358,6 +393,7 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
 
 def _write_ckpt(root: str, batch_id: int, remaining: DataFrame,
                 host_state: DataFrame) -> None:
+    """Full snapshot (batch -1 + every ckpt_full_every batches)."""
     d = os.path.join(root, f"batch={batch_id}")
     remaining.write.mode("overwrite").parquet(os.path.join(d, "remaining"))
     host_state.write.mode("overwrite").parquet(
@@ -370,6 +406,47 @@ def _read_ckpt(spark: SparkSession, root: str, batch_id: int):
     d = os.path.join(root, f"batch={batch_id}")
     return (spark.read.parquet(os.path.join(d, "remaining")),
             spark.read.parquet(os.path.join(d, "host_state")))
+
+
+def _write_delta_ckpt(root: str, batch_id: int, processed: DataFrame,
+                      host_state: DataFrame) -> None:
+    """Delta checkpoint: the batch's processed crawl_seq set (politeness-
+    capped — tiny) + host state. O(batch) bytes, not O(frontier)."""
+    d = os.path.join(root, f"batch={batch_id}")
+    processed.write.mode("overwrite").parquet(
+        os.path.join(d, "processed"))
+    host_state.write.mode("overwrite").parquet(
+        os.path.join(d, "host_state"))
+    with open(os.path.join(d, "_COMMIT"), "w") as fh:
+        fh.write("ok")
+
+
+def _read_delta_ckpt(spark: SparkSession, root: str, batch_id: int):
+    d = os.path.join(root, f"batch={batch_id}")
+    return (spark.read.parquet(os.path.join(d, "processed")),
+            spark.read.parquet(os.path.join(d, "host_state")))
+
+
+def _resume_state(spark: SparkSession, root: str, committed: list):
+    """Reconstruct (remaining, host_state, last_full) from the last
+    committed full snapshot plus the processed deltas after it."""
+    last = committed[-1]
+    fulls = [b for b in committed
+             if os.path.isdir(os.path.join(root, f"batch={b}",
+                                           "remaining"))]
+    last_full = max(b for b in fulls if b <= last)
+    remaining = spark.read.parquet(
+        os.path.join(root, f"batch={last_full}", "remaining"))
+    delta_ids = [b for b in committed if last_full < b <= last]
+    if delta_ids:
+        processed = spark.read.parquet(*[
+            os.path.join(root, f"batch={b}", "processed")
+            for b in delta_ids])
+        remaining = remaining.join(processed.select("crawl_seq"),
+                                   "crawl_seq", "left_anti")
+    host_state = spark.read.parquet(
+        os.path.join(root, f"batch={last}", "host_state"))
+    return remaining, host_state, last_full
 
 
 def _committed_batches(root: str) -> list:

@@ -53,6 +53,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="bucketed catalog table to use as the page "
                         "store (sources/pagestore.py) instead of the "
                         "world's parquet")
+    p.add_argument("--ckpt-full-every", type=int, default=8,
+                   help="full remaining-frontier snapshot every K "
+                        "batches (delta checkpoints in between)")
+    p.add_argument("--compact-every", type=int, default=16,
+                   help="fold the index MOR delta log into the base "
+                        "when it exceeds K generations (0 = never)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -77,7 +83,9 @@ def main(argv: list[str] | None = None) -> int:
         batch_seconds=args.batch_seconds, url=args.url,
         force=args.force, max_batches=args.max_batches,
         resume=not args.no_resume, order_mode=args.order_mode,
-        pages_table=args.pages_table)
+        pages_table=args.pages_table,
+        ckpt_full_every=args.ckpt_full_every,
+        compact_every=args.compact_every or None)
     n_indexed = result.index().count()
     print(json.dumps({"batches": result.batches,
                       "indexed_rows": n_indexed,

@@ -303,3 +303,45 @@ def test_site_error_isolated(spark, world, engine_run, tmp_path_factory):
     b = {(x["UID"], x["url"], x["Title"]) for x in
          r.index().select("UID", "url", "Title").collect()}
     assert a == b
+
+
+def _dir_bytes(d):
+    import os
+    total = 0
+    for root, _, files in os.walk(d):
+        for name in files:
+            total += os.path.getsize(os.path.join(root, name))
+    return total
+
+
+def test_delta_checkpoints_proportional_to_batch(engine_run):
+    """Non-snapshot batches persist only the processed delta (politeness-
+    capped) + host state — never a full frontier rewrite."""
+    import os
+    root = os.path.join(engine_run.out_dir, "checkpoints")
+    full = _dir_bytes(os.path.join(root, "batch=-1", "remaining"))
+    assert engine_run.batches >= 2
+    for b in range(min(engine_run.batches, 7)):   # batch 7 is a full
+        d = os.path.join(root, f"batch={b}")
+        assert os.path.isdir(os.path.join(d, "processed"))
+        assert not os.path.isdir(os.path.join(d, "remaining"))
+        assert _dir_bytes(os.path.join(d, "processed")) < full
+
+
+def test_compaction_mid_run_same_index(spark, world, engine_run,
+                                       tmp_path_factory):
+    """compact_every=1 fires compaction between every batch; the final
+    index is bit-identical and the delta log ends folded."""
+    import os
+    out = str(tmp_path_factory.mktemp("compact"))
+    r = run_crawl(spark, world, out, crawl_time=CRAWL_TIME,
+                  batch_seconds=5.0, compact_every=1)
+    assert any(m.get("compacted") for m in r.metrics)
+    a = {(x["UID"], x["url"], x["Title"]) for x in
+         engine_run.index().select("UID", "url", "Title").collect()}
+    b = {(x["UID"], x["url"], x["Title"]) for x in
+         r.index().select("UID", "url", "Title").collect()}
+    assert a == b
+    delta = os.path.join(out, "index", "delta")
+    gens = os.listdir(delta) if os.path.isdir(delta) else []
+    assert len(gens) <= 2

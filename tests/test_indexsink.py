@@ -62,3 +62,45 @@ def test_compaction_preserves_state_and_folds_log(spark, tmp_path):
     rows = {r["UID"]: r["Title"] for r in sink.current().collect()}
     assert rows["u3"] == "newer-3"
     assert rows["u1"] == "new-1"
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """Crash between moving the old base aside and adopting the
+    _SUCCESS-marked snapshot: a new IndexSink over the same root must
+    finish the swap and serve identical contents."""
+    import shutil
+
+    sink = _sink(spark, tmp_path)
+    before = sorted((r["UID"], r["Title"])
+                    for r in sink.current().collect())
+    # replicate compact() up to the crash point
+    tmp = sink.base_path + ".compact-tmp"
+    (sink.current().withColumn("op_seq", F.lit(-2).cast("long"))
+         .withColumn("is_delete", F.lit(False))
+         .write.mode("overwrite").parquet(tmp))
+    shutil.rmtree(sink.delta_root)
+    os.rename(sink.base_path, sink.base_path + ".old")  # crash here
+
+    sink2 = IndexSink(spark, str(tmp_path / "index"))
+    assert os.path.isdir(sink2.base_path)
+    assert not os.path.isdir(tmp)
+    after = sorted((r["UID"], r["Title"])
+                   for r in sink2.current().collect())
+    assert after == before
+
+
+def test_incomplete_compaction_tmp_discarded(spark, tmp_path):
+    """A tmp without _SUCCESS (crash mid-write) is discarded; the
+    intact base keeps serving."""
+    sink = _sink(spark, tmp_path)
+    before = sorted((r["UID"], r["Title"])
+                    for r in sink.current().collect())
+    tmp = sink.base_path + ".compact-tmp"
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"torn")
+    sink2 = IndexSink(spark, str(tmp_path / "index"))
+    assert not os.path.isdir(tmp)
+    after = sorted((r["UID"], r["Title"])
+                   for r in sink2.current().collect())
+    assert after == before
