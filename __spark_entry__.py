@@ -94,21 +94,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full pipeline on the deterministic synthetic world (SURVEY §7
-    M0-M5): sitemap discovery → purge → incremental gates → politeness
-    micro-batches → extraction → upsert sink. Returns the final index."""
+E2E_WORLD = "/tmp/ftw_spark_world_entry"
+_E2E_MEMO: dict[int, object] = {}
+
+
+def _e2e_crawl(spark: SparkSession):
+    """Run (once per session) the full pipeline on the deterministic
+    synthetic world (SURVEY §7 M0-M5): sitemap discovery → purge →
+    incremental gates → politeness micro-batches → extraction → upsert
+    sink. Both e2e queries are views over the same run."""
     from ftw_crawler_spark.plans.crawl import run_crawl
     from ftw_crawler_spark.sources.synth import generate_world
 
-    world = "/tmp/ftw_spark_world_entry"
-    if not os.path.exists(os.path.join(world, "_READY")):
-        generate_world(spark, world, n_urls=400)
-        with open(os.path.join(world, "_READY"), "w") as fh:
+    if not os.path.exists(os.path.join(E2E_WORLD, "_READY")):
+        generate_world(spark, E2E_WORLD, n_urls=400)
+        with open(os.path.join(E2E_WORLD, "_READY"), "w") as fh:
             fh.write("ok")
-    out = tempfile.mkdtemp(prefix="ftw_spark_crawl_")
-    result = run_crawl(spark, world, out, crawl_time=CRAWL_TIME)
-    idx = result.index()
+    key = id(spark)
+    if key not in _E2E_MEMO:
+        out = tempfile.mkdtemp(prefix="ftw_spark_crawl_")
+        _E2E_MEMO[key] = run_crawl(spark, E2E_WORLD, out,
+                                   crawl_time=CRAWL_TIME)
+    return _E2E_MEMO[key]
+
+
+def _crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _e2e_crawl(spark).index()
     return idx.select("UID", "url", "Title", "modified",
                       "crawler_site_id", "op_seq")
 
@@ -1371,6 +1382,111 @@ def _frame_sample(spark, sf_dir):
 # --- crawl end-to-end (rows-only) ------------------------------------------
 
 _QUERIES["crawl_e2e_index"] = _crawl_e2e
+
+
+# --- crawl end-to-end, ORACLE-CHECKED slice --------------------------------
+#
+# The politeness-scheduled loop itself has no SQL equivalent, but the
+# FINAL index state does: membership + (UID, url, modified,
+# crawler_site_id) are a closed-form function of the world tables. The
+# oracle recomputes them from the world parquet alone (entries, pages,
+# fetch_status, index0; the robots bodies are deterministic constants —
+# sources/synth.py ROBOTS_BODIES — restated as predicates): frontier
+# gates (robots → is_modified truth table → status/page-found), the
+# site-scoped purge anti-join, crawl-wins-over-base LWW, and the
+# md5-as-UUID UID. This promotes the pytest-only final-index equality
+# (test_final_index_matches_oracle) into the driver's hash-compare
+# gate.
+
+_E2E_SLICE_SQL = f"""
+WITH sites(site_id, site_url, csid) AS (
+  VALUES (0, 'https://site0.example.ch/', NULL),
+         (1, 'http://site1.example.org/', NULL),
+         (2, 'http://site2.example.net/', NULL),
+         (3, 'https://site3.example.com/', 'site-3'),
+         (4, 'http://site4.example.net/', NULL)),
+entries AS (
+  SELECT DISTINCT site_id, loc, lastmod
+  FROM read_parquet('{E2E_WORLD}/entries.parquet/*.parquet')),
+pages AS (SELECT url, warc_ts
+          FROM read_parquet('{E2E_WORLD}/pages.parquet/*.parquet')),
+fs AS (SELECT url, status
+       FROM read_parquet('{E2E_WORLD}/fetch_status.parquet/*.parquet')),
+idx0 AS (SELECT UID, url, modified, crawler_site_id
+         FROM read_parquet('{E2E_WORLD}/index0.parquet/*.parquet')),
+fr AS (
+  SELECT e.site_id, e.loc, e.lastmod, p.warc_ts,
+         coalesce(f.status, 200) AS status,
+         p.url IS NOT NULL AS page_found,
+         CASE WHEN e.lastmod IS NULL THEN NULL
+              WHEN e.lastmod LIKE '%+02:00' THEN
+                strptime(substr(e.lastmod, 1, 19),
+                         '%Y-%m-%dT%H:%M:%S') - INTERVAL 2 HOUR
+              ELSE CAST(e.lastmod AS TIMESTAMP) END AS lastmod_ts,
+         NOT ((e.loc LIKE 'https://site0.example.ch/page/13/%')
+           OR (e.loc LIKE 'https://site0.example.ch/page/7/%'
+               AND e.loc NOT LIKE
+                   'https://site0.example.ch/page/7/doc-1%')
+           OR (e.loc LIKE 'http://site4.example.net/stuff%'))
+           AS robots_allowed
+  FROM entries e
+  LEFT JOIN pages p ON e.loc = p.url
+  LEFT JOIN fs f ON e.loc = f.url),
+scoped_idx AS (
+  SELECT s.site_id, i.url, i.modified
+  FROM idx0 i JOIN sites s
+    ON (s.csid IS NOT NULL AND i.crawler_site_id = s.csid)
+    OR (s.csid IS NULL AND starts_with(i.url, s.site_url))),
+last_idx AS (
+  SELECT site_id, url AS loc, max(modified) AS last_indexed
+  FROM scoped_idx GROUP BY site_id, url),
+crawled AS (
+  SELECT r.site_id, r.loc,
+         coalesce(r.lastmod_ts, r.warc_ts) AS modified
+  FROM fr r LEFT JOIN last_idx l
+    ON r.site_id = l.site_id AND r.loc = l.loc
+  WHERE r.robots_allowed
+    AND (l.last_indexed IS NULL
+         OR (r.lastmod IS NOT NULL
+             AND r.lastmod_ts > l.last_indexed)
+         OR (r.lastmod IS NULL AND r.warc_ts IS NOT NULL
+             AND r.warc_ts > l.last_indexed)
+         OR (r.lastmod IS NULL AND r.warc_ts IS NULL))
+    AND r.status = 200 AND r.page_found),
+crawled_docs AS (
+  SELECT concat(substr(md5(c.loc), 1, 8), '-',
+                substr(md5(c.loc), 9, 4), '-',
+                substr(md5(c.loc), 13, 4), '-',
+                substr(md5(c.loc), 17, 4), '-',
+                substr(md5(c.loc), 21, 12)) AS UID,
+         c.loc AS url, c.modified, s.csid AS crawler_site_id
+  FROM crawled c JOIN sites s USING (site_id)),
+purged AS (
+  SELECT i.UID
+  FROM idx0 i JOIN sites s
+    ON (s.csid IS NOT NULL AND i.crawler_site_id = s.csid)
+    OR (s.csid IS NULL AND starts_with(i.url, s.site_url))
+  WHERE starts_with(i.url, s.site_url)
+    AND lower(i.url) NOT IN (SELECT lower(e2.loc) FROM entries e2
+                             WHERE e2.site_id = s.site_id)),
+kept0 AS (
+  SELECT i.UID, i.url, i.modified, i.crawler_site_id
+  FROM idx0 i
+  WHERE i.UID NOT IN (SELECT UID FROM purged)
+    AND i.UID NOT IN (SELECT UID FROM crawled_docs))
+SELECT UID, url, modified, crawler_site_id FROM crawled_docs
+UNION ALL
+SELECT UID, url, modified, crawler_site_id FROM kept0
+"""
+
+
+@_q("crawl_e2e_slice", _E2E_SLICE_SQL)
+def _crawl_e2e_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The e2e run's final index, deterministic slice — same run as
+    crawl_e2e_index (memoized), hash-compared against the closed-form
+    SQL recomputation above."""
+    idx = _e2e_crawl(spark).index()
+    return idx.select("UID", "url", "modified", "crawler_site_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
