@@ -122,6 +122,8 @@ def bench_extract_stage(spark, n_urls: int = 300_000,
     var SPARK_GRAFT_STAGE_SINK selects it for subprocess runs.
     """
     sink = sink or os.environ.get("SPARK_GRAFT_STAGE_SINK", "parquet")
+    repeats = int(os.environ.get("SPARK_GRAFT_STAGE_REPEATS", repeats))
+    mult = int(os.environ.get("SPARK_GRAFT_STAGE_MULT", mult))
     import pyspark.sql.functions as F
 
     from ftw_crawler_spark import config as cfg

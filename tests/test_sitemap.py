@@ -120,3 +120,48 @@ def test_discovery_index_name_present_but_not_index():
 def test_no_sitemap_raises():
     with pytest.raises(NoSitemapFound):
         _resolve_site(Site(0, "http://x.org/"), {}, {})
+
+
+def test_distributed_discovery_matches_reference(spark):
+    """The executor-side probe/min_by/parse discovery must reproduce
+    _resolve_site (the driver-side reference semantics) for every
+    discovery mode, and record (not raise) per-site failures."""
+    import gzip as _gz
+
+    from ftw_crawler_spark.operators.sitemaps import discover_sitemaps
+
+    sites = [
+        Site(0, "http://s0.org/", sitemap_urls=["http://s0.org/a.xml",
+                                                "http://s0.org/b.xml"]),
+        Site(1, "http://s1.org/"),    # real sitemap index
+        Site(2, "http://s2.org/"),    # index-named file that is NOT one
+        Site(3, "http://s3.org/"),    # gz single sitemap only
+        Site(4, "http://s4.org/"),    # nothing → error
+        Site(5, "http://s5.org/"),    # sitemap.xml that IS an index → error
+    ]
+    rows = [
+        ("http://s1.org/sitemap_index.xml", True, False, INDEX_XML),
+        ("http://s2.org/sitemap_index.xml", False, False, SITEMAP_XML),
+        ("http://s2.org/sitemap.xml", False, False, SITEMAP_XML),
+        ("http://s3.org/sitemap.xml.gz", False, True,
+         _gz.compress(SITEMAP_XML)),
+        ("http://s5.org/sitemap.xml", True, False, INDEX_XML),
+    ]
+    smdf = spark.createDataFrame(
+        rows, "sitemap_url string, is_index boolean, gz boolean, "
+              "xml binary")
+    errors = []
+    got = sorted((r["site_id"], r["sitemap_ord"], r["sitemap_url"])
+                 for r in discover_sitemaps(spark, sites, smdf,
+                                            errors=errors).collect())
+    assert got == [
+        (0, 0, "http://s0.org/a.xml"), (0, 1, "http://s0.org/b.xml"),
+        (1, 0, "http://example.org/a.xml"),
+        (1, 1, "http://example.org/b.xml"),
+        (2, 0, "http://s2.org/sitemap.xml"),
+        (3, 0, "http://s3.org/sitemap.xml.gz"),
+    ]
+    assert [e["site_id"] for e in errors] == [4, 5]
+    # strict mode (no errors list) raises like the reference
+    with pytest.raises(NoSitemapFound):
+        discover_sitemaps(spark, sites, smdf)

@@ -50,12 +50,25 @@ def run_level(cpus: int, n_urls: int, mode: str) -> dict:
         # write/shuffle I/O scales with executors; one local disk
         # cannot)
         env.update({"SPARK_GRAFT_LOCAL_DIR": "/dev/shm/spark-bench",
-                    "SPARK_GRAFT_STAGE_SINK": "noop"})
+                    "SPARK_GRAFT_STAGE_SINK": "noop",
+                    # best-of-3 at 16x volume: single-JVM wall times in
+                    # the ~25 s range swing ±15% run-to-run on this
+                    # shared rig; longer runs amortize the noise
+                    "SPARK_GRAFT_STAGE_REPEATS": "3",
+                    "SPARK_GRAFT_STAGE_MULT": "16"})
+    load_before = os.getloadavg()[0]
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, cwd=REPO, capture_output=True, text=True, check=True)
     line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    result = json.loads(line)
+    # loadavg is host-wide (not namespaced): external co-tenant load
+    # directly suppresses the 32-thread level while barely touching the
+    # 8-thread one, so every measurement records the ambient load it
+    # ran under — an efficiency number is only meaningful at low load
+    result["loadavg_before"] = round(load_before, 1)
+    result["loadavg_after"] = round(os.getloadavg()[0], 1)
+    return result
 
 
 def main() -> int:
@@ -84,6 +97,10 @@ def main() -> int:
             "n8": r8[sect], "n32": r32[sect],
             "speedup_8_to_32": round(speedup, 3),
             "efficiency": round(speedup / 4.0, 3),
+            "ambient_load": {
+                "n8": [r8["loadavg_before"], r8["loadavg_after"]],
+                "n32": [r32["loadavg_before"], r32["loadavg_after"]],
+            },
         }
     result["note"] = (
         "efficiency = (ups@local[32]/ups@local[8]) / (32/8); north-rule "
