@@ -51,11 +51,13 @@ def run_level(cpus: int, n_urls: int, mode: str) -> dict:
         # cannot)
         env.update({"SPARK_GRAFT_LOCAL_DIR": "/dev/shm/spark-bench",
                     "SPARK_GRAFT_STAGE_SINK": "noop",
-                    # best-of-3 at 16x volume: single-JVM wall times in
-                    # the ~25 s range swing ±15% run-to-run on this
-                    # shared rig; longer runs amortize the noise
-                    "SPARK_GRAFT_STAGE_REPEATS": "3",
-                    "SPARK_GRAFT_STAGE_MULT": "16"})
+                    # best-of-3: single-JVM wall times in the ~25 s
+                    # range swing ±15% run-to-run on this shared rig
+                    # (see ambient_load in the output). Volume stays at
+                    # the default 8x batch — raising it shifts the
+                    # bottleneck to shuffle/memory, which is a
+                    # different measurement, not less noise.
+                    "SPARK_GRAFT_STAGE_REPEATS": "3"})
     load_before = os.getloadavg()[0]
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
