@@ -664,6 +664,59 @@ def _simhash_near(spark, sf_dir):
     return dedup.simhash_near_pairs(corpus, max_hamming=4)
 
 
+@_q("dedup_components", f"""
+WITH RECURSIVE pairs AS ({_SIMHASH_NEAR_SQL}),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION SELECT b AS src, a AS dst FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+SELECT src AS node, least(src, min(dst)) AS component
+FROM reach GROUP BY src
+""")
+def _components(spark, sf_dir):
+    """Near-dup CLUSTERS: the pair-producing dedup operators feed
+    iterative min-label propagation (connected components); keep
+    node == component as the canonical doc. Oracle: recursive-CTE
+    transitive closure over the same pair SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    pert = docs.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9")).alias("text"))
+    corpus = docs.select("doc_id", "text").unionByName(pert)
+    pairs = dedup.simhash_near_pairs(corpus, max_hamming=4)
+    return dedup.connected_components(pairs)
+
+
+@_q("sample_bernoulli", f"""
+SELECT doc_id, source FROM documents
+WHERE {_MD5L.format("'s:' || doc_id")} % 1000000 < 250000
+""")
+def _sample_bernoulli(spark, sf_dir):
+    """Deterministic ~25% corpus sample keyed on a content hash of the
+    doc id — reproducible across reruns/partitionings (no rand())."""
+    from ftw_crawler_spark.operators import sampling
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.hash_sample(docs, "doc_id", rate_ppm=250_000)
+
+
+@_q("sample_stratified", """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5('t:' || doc_id), doc_id) AS rn
+  FROM documents) WHERE rn <= 7
+""")
+def _sample_stratified(spark, sf_dir):
+    """Exactly-n-per-source quota sample in deterministic hash order —
+    the per-source cap every mixture-curation pipeline needs."""
+    from ftw_crawler_spark.operators import sampling
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.stratified_sample(docs, "source", "doc_id",
+                                      n_per_stratum=7)
+
+
 @_q("metadata_dc_precedence", """
 SELECT doc_id,
   CASE doc_id % 4

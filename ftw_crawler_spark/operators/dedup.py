@@ -286,3 +286,58 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     return (cand.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("a", "b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, a_col: str = "a",
+                         b_col: str = "b",
+                         max_iter: int = 50) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``;
+    ``component`` is the minimum node id of its connected component.
+
+    This is the step that turns any of the pair-producing dedup
+    operators (MinHash/SimHash/n-gram/embedding) into actionable
+    clusters: keep ``node == component`` as the canonical doc, drop
+    the rest.
+
+    Distributed iterative min-label propagation: each round joins the
+    (undirected) edge list against the current labels, takes the
+    per-node min, and stops when a round changes nothing. One shuffle
+    per round on the node id; the driver sees only a changed-row count
+    per round. Lineage is truncated per round (localCheckpoint), the
+    same pattern as the k-means refinement loop. Rounds needed =
+    graph diameter — near-dup graphs are dense near-cliques (diameter
+    ≤ ~4); for adversarial long-chain graphs swap in pointer-doubling
+    (large-star/small-star) which this sandbox's worlds never need.
+    """
+    edges = (pairs.select(F.col(a_col).alias("src"),
+                          F.col(b_col).alias("dst"))
+             .unionByName(pairs.select(F.col(b_col).alias("src"),
+                                       F.col(a_col).alias("dst")))
+             .distinct()
+             # materialize once: every round joins the edge list, and
+             # without this each round would re-execute the (possibly
+             # expensive) upstream pair-mining plan
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("component", F.col("node")))
+    for _ in range(max_iter):
+        hop = (edges.join(labels,
+                          edges["src"] == labels["node"])
+               .select(F.col("dst").alias("node"), "component"))
+        new_labels = (labels.unionByName(hop)
+                      .groupBy("node")
+                      .agg(F.min("component").alias("component"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

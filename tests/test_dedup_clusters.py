@@ -1,0 +1,70 @@
+"""Near-dup clustering (connected components) + deterministic sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ftw_crawler_spark.operators import sampling
+from ftw_crawler_spark.operators.dedup import connected_components
+
+
+def _cc(spark, edges):
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    return {r["node"]: r["component"]
+            for r in connected_components(pairs).collect()}
+
+
+def test_components_basic(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_components_long_chain_converges(spark):
+    # diameter > 1 round: labels must propagate hop by hop
+    chain = [(i, i + 1) for i in range(1, 9)]
+    got = _cc(spark, chain)
+    assert got == {i: 1 for i in range(1, 10)}
+
+
+def test_components_direction_irrelevant(spark):
+    assert _cc(spark, [(5, 2), (2, 9)]) == {2: 2, 5: 2, 9: 2}
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"] for r in
+         sampling.hash_sample(df, "doc_id", 300_000).collect()}
+    b = {r["doc_id"] for r in
+         sampling.hash_sample(df.repartition(17), "doc_id",
+                              300_000).collect()}
+    assert a == b
+    assert 0.2 < len(a) / 2000 < 0.4          # ~30% +- hash variance
+
+
+def test_hash_sample_rate_monotone(spark):
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    small = {r["doc_id"] for r in
+             sampling.hash_sample(df, "doc_id", 100_000).collect()}
+    big = {r["doc_id"] for r in
+           sampling.hash_sample(df, "doc_id", 500_000).collect()}
+    assert small <= big                        # nested samples
+
+
+def test_stratified_exact_quota_and_determinism(spark):
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("src"))
+    out = sampling.stratified_sample(df, "src", "doc_id", 10)
+    counts = {r["src"]: r["n"] for r in
+              out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"0": 10, "1": 10, "2": 10}
+    again = sampling.stratified_sample(df.repartition(13), "src",
+                                       "doc_id", 10)
+    assert {tuple(r) for r in out.collect()} == \
+        {tuple(r) for r in again.collect()}
+
+
+def test_stratified_small_stratum_kept_whole(spark):
+    df = spark.range(5).select(F.col("id").alias("doc_id"),
+                               F.lit("only").alias("src"))
+    assert sampling.stratified_sample(df, "src", "doc_id", 10).count() == 5
