@@ -92,23 +92,43 @@ ENTRY_TYPE = T.ArrayType(T.StructType(
     [T.StructField(p, T.StringType(), True) for p in PROPERTIES]))
 
 
+def _entries_or_none(xml_bytes, gz, container="urlset", child="url"):
+    """Executor-side parse with error isolation: at web scale some
+    fraction of sitemap bodies is malformed XML / truncated gzip —
+    one bad body must cost its own entries, never the job. None (not
+    []) marks a parse FAILURE so callers can count it as an error row
+    rather than an empty sitemap. The reference aborts the whole site
+    on a parse error (main.py:80-88 catches per site); here the
+    granularity is per sitemap, with the failure surfaced in metrics.
+    """
+    try:
+        return parse_entries(xml_bytes, gz, container=container,
+                             child=child)
+    except Exception:
+        return None
+
+
 @F.pandas_udf(ENTRY_TYPE)
 def parse_urlset_udf(xml: pd.Series, gz: pd.Series) -> pd.Series:
-    return pd.Series([
-        [tuple(e[p] for p in PROPERTIES)
-         for e in parse_entries(x, bool(g))]
-        for x, g in zip(xml, gz)])
+    out = []
+    for x, g in zip(xml, gz):
+        entries = _entries_or_none(x, bool(g))
+        out.append(None if entries is None else
+                   [tuple(e[p] for p in PROPERTIES) for e in entries])
+    return pd.Series(out)
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def parse_sitemapindex_udf(xml: pd.Series, gz: pd.Series) -> pd.Series:
     """<sitemapindex> body → ordered child sitemap locs (sitemap.py:211-219),
     evaluated executor-side so index bodies are never collected."""
-    return pd.Series([
-        [e["loc"] for e in parse_entries(x, bool(g),
-                                         container="sitemapindex",
-                                         child="sitemap") if e["loc"]]
-        for x, g in zip(xml, gz)])
+    out = []
+    for x, g in zip(xml, gz):
+        entries = _entries_or_none(x, bool(g), container="sitemapindex",
+                                   child="sitemap")
+        out.append(None if entries is None else
+                   [e["loc"] for e in entries if e["loc"]])
+    return pd.Series(out)
 
 
 # ---------------------------------------------------------------------------
@@ -264,6 +284,36 @@ def expand_frontier(discovered: DataFrame, sitemaps: DataFrame) -> DataFrame:
     ).filter(F.col("loc").isNotNull())
 
 
+def expansion_errors(discovered: DataFrame,
+                     sitemaps: DataFrame) -> DataFrame:
+    """Per-sitemap failures of the expansion step: (site_id,
+    sitemap_url, error) for discovered sitemaps whose XML body fails to
+    parse, and for child sitemaps an index listed that are absent from
+    the sitemaps relation (fetch failure analog). Bounded by the
+    number of FAILED sitemaps — safe to collect for the error report.
+
+    Granularity note: the reference aborts the whole site on the first
+    bad sitemap (main.py:80-88); at web scale that throws away every
+    good sitemap of a site because one of thousands is truncated, so
+    here the unit of failure is the sitemap, the good ones still
+    crawl, and the site is excluded from purge (its membership is
+    incomplete, not empty)."""
+    joined = sitemaps.join(F.broadcast(discovered), ["sitemap_url"],
+                           "inner")
+    bad_parse = (joined.select(
+        discovered["site_id"], "sitemap_url",
+        parse_urlset_udf(F.col("xml"), F.col("gz")).alias("e"))
+        .filter(F.col("e").isNull())
+        .select("site_id", "sitemap_url",
+                F.lit("sitemap XML parse error").alias("error")))
+    missing = (discovered.join(sitemaps.select("sitemap_url"),
+                               "sitemap_url", "left_anti")
+               .select("site_id", "sitemap_url",
+                       F.lit("listed sitemap not fetchable")
+                       .alias("error")))
+    return bad_parse.unionByName(missing)
+
+
 def build_frontier(spark: SparkSession, sites: list,
                    sitemaps: DataFrame,
                    errors: list | None = None) -> DataFrame:
@@ -274,10 +324,16 @@ def build_frontier(spark: SparkSession, sites: list,
     order (main.py:75,107,113). Computed from the ordinal triple (no
     window over the full frontier needed — the triple IS the order).
 
-    ``errors`` (optional list): per-site discovery failures are recorded
-    there and skipped instead of aborting the run (see
-    discover_sitemaps)."""
+    ``errors`` (optional list): per-site discovery failures AND
+    per-sitemap expansion failures (parse errors, unfetchable index
+    children) are recorded there and skipped instead of aborting the
+    run (see discover_sitemaps / expansion_errors)."""
     discovered = discover_sitemaps(spark, sites, sitemaps, errors=errors)
+    if errors is not None:
+        for r in expansion_errors(discovered, sitemaps).collect():
+            errors.append({"site_id": r["site_id"],
+                           "url": r["sitemap_url"],
+                           "error": r["error"]})
     frontier = expand_frontier(discovered, sitemaps)
     # dense rank not required: any monotone function of the triple works
     return frontier.withColumn(

@@ -345,3 +345,40 @@ def test_compaction_mid_run_same_index(spark, world, engine_run,
     delta = os.path.join(out, "index", "delta")
     gens = os.listdir(delta) if os.path.isdir(delta) else []
     assert len(gens) <= 2
+
+
+def test_corrupt_sitemap_site_not_purged(spark, world, engine_run,
+                                         tmp_path_factory):
+    """A site whose only sitemap is corrupt XML: its entries are
+    skipped, the failure lands in metrics, and crucially its indexed
+    docs are NOT purged (membership is incomplete, not empty)."""
+    import shutil
+    world2 = str(tmp_path_factory.mktemp("world_corrupt"))
+    for t in ("pages", "fetch_status", "robots", "entries", "index0"):
+        shutil.copytree(f"{world}/{t}.parquet", f"{world2}/{t}.parquet")
+    sm = spark.read.parquet(f"{world}/sitemaps.parquet")
+    bad = sm.withColumn(
+        "xml",
+        F.when(F.col("sitemap_url")
+               == "http://site1.example.org/sitemap.xml",
+               F.lit(b"<urlset><url><lo")).otherwise(F.col("xml")))
+    bad.write.parquet(f"{world2}/sitemaps.parquet")
+
+    out = str(tmp_path_factory.mktemp("corrupt_run"))
+    r = run_crawl(spark, world2, out, crawl_time=CRAWL_TIME,
+                  batch_seconds=5.0)
+    errs = [m for m in r.metrics if m.get("event") == "site_error"]
+    assert [(e["site_id"], e["error"]) for e in errs] == \
+        [(1, "sitemap XML parse error")]
+    # site1's pre-existing index docs survive (no mass purge)
+    site1_before = (spark.read.parquet(f"{world}/index0.parquet")
+                    .filter(F.col("url").startswith(
+                        "http://site1.example.org/"))
+                    .filter(~F.col("url").contains("/removed/")).count())
+    site1_after = (r.index().filter(F.col("url").startswith(
+        "http://site1.example.org/")).count())
+    assert site1_after >= site1_before
+    # and no site1 url was crawled this run
+    assert (r.index().filter(F.col("batch_id").isNotNull())
+            .filter(F.col("url").startswith("http://site1.example.org/"))
+            .count() == 0)

@@ -165,3 +165,33 @@ def test_distributed_discovery_matches_reference(spark):
     # strict mode (no errors list) raises like the reference
     with pytest.raises(NoSitemapFound):
         discover_sitemaps(spark, sites, smdf)
+
+
+def test_malformed_sitemap_isolated(spark):
+    """A truncated/corrupt sitemap body costs its own entries only:
+    the parse UDF yields NULL (not a job-killing exception), the good
+    sitemaps still expand, and expansion_errors reports both the bad
+    body and an index child missing from the web."""
+    from ftw_crawler_spark.operators.sitemaps import (
+        expand_frontier, expansion_errors)
+
+    smdf = spark.createDataFrame(
+        [("http://a.org/sitemap.xml", False, False, SITEMAP_XML),
+         ("http://b.org/sitemap.xml", False, False, b"<urlset><url><lo"),
+         ("http://c.org/sitemap.xml", False, True, b"not gzip either")],
+        "sitemap_url string, is_index boolean, gz boolean, xml binary")
+    discovered = spark.createDataFrame(
+        [(0, "http://a.org/sitemap.xml", 0),
+         (1, "http://b.org/sitemap.xml", 0),
+         (2, "http://c.org/sitemap.xml", 0),
+         (3, "http://gone.org/sitemap.xml", 0)],   # never fetched
+        "site_id int, sitemap_url string, sitemap_ord int")
+    frontier = expand_frontier(discovered, smdf)
+    assert [r["site_id"] for r in frontier.select("site_id")
+            .distinct().collect()] == [0]
+    assert frontier.count() == 2                 # the two good entries
+    errs = {(r["site_id"], r["error"])
+            for r in expansion_errors(discovered, smdf).collect()}
+    assert errs == {(1, "sitemap XML parse error"),
+                    (2, "sitemap XML parse error"),
+                    (3, "listed sitemap not fetchable")}
