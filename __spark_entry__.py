@@ -689,6 +689,74 @@ def _components(spark, sf_dir):
     return dedup.connected_components(pairs)
 
 
+@_q("url_canonicalize", r"""
+WITH messy AS (
+  SELECT doc_id,
+    'HTTP://' ||
+    CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example.COM:80'
+         ELSE 'www.example.com' END ||
+    '/Path/' || doc_id ||
+    CASE WHEN doc_id % 3 = 0
+           THEN '?utm_source=x&id=' || doc_id || '&utm_campaign=y'
+         WHEN doc_id % 3 = 1 THEN '?id=' || doc_id || '&fbclid=abc'
+         ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN '#SECTION' ELSE '' END AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(regexp_replace(url, '#.*', ''),
+                         '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(regexp_replace(url, '#.*', ''),
+                   '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM messy),
+p2 AS (
+  SELECT doc_id, scheme,
+    lower(regexp_extract(rest, '^([^/?]*)', 1)) AS authority,
+    regexp_replace(rest, '^[^/?]*', '') AS tail
+  FROM parts),
+p3 AS (
+  SELECT doc_id, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(authority, ':80$', '')
+         WHEN scheme = 'https'
+           THEN regexp_replace(authority, ':443$', '')
+         ELSE authority END AS host,
+    CASE WHEN regexp_extract(tail, '^([^?]*)', 1) = '' THEN '/'
+         ELSE regexp_extract(tail, '^([^?]*)', 1) END AS path,
+    array_to_string(list_filter(
+      string_split(regexp_extract(tail, '\?(.*)$', 1), '&'),
+      p -> p <> ''
+           AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=')),
+      '&') AS q
+  FROM p2)
+SELECT doc_id,
+  scheme || '://' || host || path ||
+  CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical
+FROM p3
+""")
+def _url_canonicalize(spark, sf_dir):
+    """Frontier URL canonicalization (scheme/host case, default port,
+    fragment, tracking params) — the variant-dedup step that runs
+    before the seen-filter at web scale; pure codegen Column algebra."""
+    from ftw_crawler_spark.functions.urls import canonical_url_col
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    messy = F.concat(
+        F.lit("HTTP://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.Example.COM:80"))
+        .otherwise(F.lit("www.example.com")),
+        F.lit("/Path/"), d,
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("?utm_source=x&id="), d,
+                        F.lit("&utm_campaign=y")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("?id="), d, F.lit("&fbclid=abc")))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#SECTION"))
+        .otherwise(F.lit("")))
+    return docs.select(
+        "doc_id", canonical_url_col(messy).alias("canonical"))
+
+
 @_q("sample_bernoulli", f"""
 SELECT doc_id, source FROM documents
 WHERE {_MD5L.format("'s:' || doc_id")} % 1000000 < 250000

@@ -1,0 +1,36 @@
+"""URL canonicalization goldens (RFC 3986 §6 safe equivalences)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftw_crawler_spark.functions.urls import canonical_url_col
+
+CASES = [
+    ("HTTP://WWW.Example.COM:80/Path/1", "http://www.example.com/Path/1"),
+    ("https://Host:443/a", "https://host/a"),
+    ("https://host:8080/a", "https://host:8080/a"),   # non-default kept
+    ("http://host:443/a", "http://host:443/a"),       # wrong scheme kept
+    ("http://host/a#frag", "http://host/a"),
+    ("http://host", "http://host/"),                  # empty path → /
+    ("http://host?x=1", "http://host/?x=1"),
+    ("http://host/p?utm_source=a&id=7&utm_campaign=b&gclid=z",
+     "http://host/p?id=7"),
+    ("http://host/p?utm_source=a", "http://host/p"),  # all stripped → no ?
+    ("http://host/p?b=2&a=1", "http://host/p?b=2&a=1"),  # order KEPT
+    ("http://host/CaseKept/Q?fbclid=x&ok=1", "http://host/CaseKept/Q?ok=1"),
+]
+
+
+@pytest.fixture(scope="module")
+def canon(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
+    rows = df.select("url",
+                     canonical_url_col(F.col("url")).alias("c")).collect()
+    return {r["url"]: r["c"] for r in rows}
+
+
+@pytest.mark.parametrize("url,expected", CASES)
+def test_canonical_golden(canon, url, expected):
+    assert canon[url] == expected
