@@ -689,6 +689,38 @@ def _components(spark, sf_dir):
     return dedup.connected_components(pairs)
 
 
+@_q("text_repetition", f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+grams AS (SELECT doc_id,
+  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS g
+  FROM toks)
+SELECT doc_id,
+  len(g)::BIGINT AS n_ngrams,
+  len(list_distinct(g))::BIGINT AS n_distinct,
+  (len(g) - len(list_distinct(g)))::BIGINT AS dup_ngrams,
+  (len(g) - len(list_distinct(g))) * 100 > 20 * len(g) AS repetitive
+FROM grams WHERE len(g) > 0
+""")
+def _text_repetition(spark, sf_dir):
+    """Gopher-style duplicate-bigram share (boilerplate/spam gate),
+    integer cross-mult — per-row codegen, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return ts.repetition_stats(docs)
+
+
+@_q("text_length_histogram", f"""
+SELECT (len(t) // 64) * 64 AS bucket_lo,
+       count(*)::BIGINT AS n_docs,
+       sum(len(t))::BIGINT AS sum_tokens
+FROM (SELECT {_TOKS_SQL} AS t FROM documents) GROUP BY 1
+""")
+def _text_length_histogram(spark, sf_dir):
+    """Corpus token-length distribution in 64-token buckets (mixture /
+    truncation planning) — map-side combine, one tiny shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return ts.length_histogram(docs)
+
+
 @_q("url_canonicalize", r"""
 WITH messy AS (
   SELECT doc_id,

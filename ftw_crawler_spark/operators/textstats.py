@@ -89,6 +89,44 @@ def token_counts(docs: DataFrame, text_col: str = "text",
                        n_bpe.cast("long").alias("n_bpe_tokens"))
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", w: int = 2,
+                     max_dup_pct: int = 20) -> DataFrame:
+    """Gopher-style repetition signal: (id, n_ngrams, n_distinct,
+    dup_ngrams, repetitive). A doc whose duplicate-w-gram share exceeds
+    ``max_dup_pct``% is boilerplate/spam-like (nav bars, keyword
+    stuffing, template farms). Integer cross-mult gate (dup·100 >
+    max_pct·total) — no float, bit-reproducible in SQL; per-row
+    projection, no shuffle."""
+    sh = shingles_col(tokens_col(text_col), w)
+    n = F.size(sh)
+    n_distinct = F.size(F.array_distinct(sh))
+    dup = n - n_distinct
+    return (docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_ngrams"),
+        n_distinct.cast("long").alias("n_distinct"),
+        dup.cast("long").alias("dup_ngrams"),
+        (dup * 100 > F.lit(max_dup_pct) * n).alias("repetitive"))
+        .filter(F.col("n_ngrams") > 0))
+
+
+def length_histogram(docs: DataFrame, text_col: str = "text",
+                     bucket_tokens: int = 64) -> DataFrame:
+    """(bucket_lo, n_docs, sum_tokens): corpus length distribution in
+    fixed token buckets — the curation dashboard staple (mixture
+    weights, truncation budgets). Map-side combine then one tiny
+    shuffle on the bucket id; scales to any corpus."""
+    n_tokens = F.size(tokens_col(text_col))
+    bucket = (F.floor(n_tokens / F.lit(bucket_tokens))
+              * F.lit(bucket_tokens)).cast("long")
+    return (docs.select(bucket.alias("bucket_lo"),
+                        n_tokens.cast("long").alias("__n"))
+            .groupBy("bucket_lo")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("__n").alias("sum_tokens")))
+
+
 def bottomk_fingerprint(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 4,
                         w: int = 3) -> DataFrame:
