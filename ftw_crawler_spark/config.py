@@ -69,7 +69,7 @@ class _RowCtx:
     per row and shared by all extractors."""
 
     __slots__ = ("loc", "lastmod", "target", "html", "text", "content_type",
-                 "headers", "attributes", "crawl_time", "metadata", "dom",
+                 "headers", "attributes", "crawl_time", "_metadata", "dom",
                  "_title")
 
     def __init__(self, loc, lastmod, target, html, text, content_type,
@@ -85,8 +85,17 @@ class _RowCtx:
         self.crawl_time = crawl_time
         self.dom = None
         self._title = None
-        raw_meta = htmlmod.extract_metadata(html, content_type)
-        self.metadata = scalars.canonicalize_metadata(raw_meta)
+        self._metadata = None
+
+    @property
+    def metadata(self):
+        # lazy + shares get_dom()'s single parse with the title/xpath
+        # extractors (the DOM parse dominates per-row extraction cost)
+        if self._metadata is None:
+            raw = htmlmod.extract_metadata(self.html, self.content_type,
+                                           root=self.get_dom())
+            self._metadata = scalars.canonicalize_metadata(raw)
+        return self._metadata
 
     def get_dom(self):
         if self.dom is None and self.html is not None \
@@ -158,7 +167,13 @@ class TitleExtractor(Extractor):
     _H1 = XPathExtractor("//div[@id='content']/h1")
 
     def eval_row(self, row):
-        return scalars.normalize_whitespace(self._raw_title(row))
+        # cached on the row: the snippet extractor re-derives the title
+        # (extractors.py:306-327), which would re-run the whole cascade
+        # (header decode + xpath + metadata) per row
+        if row._title is None:
+            row._title = scalars.normalize_whitespace(
+                self._raw_title(row))
+        return row._title
 
     def _raw_title(self, row):
         if "x-document-title" in row.headers:

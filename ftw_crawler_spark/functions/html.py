@@ -58,10 +58,15 @@ class Node:
         self.parent = parent
 
     def iter(self):
-        yield self
-        for child in self.children:
-            if isinstance(child, Node):
-                yield from child.iter()
+        # explicit-stack preorder DFS: nested `yield from` recursion
+        # costs a generator frame per tree level per yielded node —
+        # measurably hot when every extraction row walks its DOM
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            yield node
+            stack.extend(child for child in reversed(node.children)
+                         if isinstance(child, Node))
 
     def text_content(self) -> str:
         """All descendant character data concatenated in document order
@@ -193,27 +198,40 @@ def _match_pred(node: Node, pred) -> bool:
 
 
 def extract_metadata(html_bytes: bytes | None,
-                     content_type: str | None) -> dict:
+                     content_type: str | None,
+                     root: Node | None = None) -> dict:
     """HTML ``<meta name= content=>`` tags + ``<title>`` as a raw
     metadata dict — this engine's Tika ``/meta`` analog for markup
     (reference: tika.py:23-46). Keys are the verbatim ``name``
     attributes (so 'DC.title', 'author', … survive for the
     SimpleMetadata canonicalization in scalars.canonicalize_metadata).
     Non-markup content types yield an empty dict.
+
+    ``root``: an already-parsed DOM of the same bytes — the extraction
+    row context passes its cached tree so metadata and the
+    title/xpath extractors share ONE parse per document (the parse is
+    the dominant per-row cost in the hot extraction stage).
     """
     if html_bytes is None or content_type not in MARKUP_TYPES:
         return {}
-    root = parse_html(html_bytes)
+    if root is None:
+        root = parse_html(html_bytes)
+    # one traversal: the first <title> in document order (== the
+    # xpath_first('//title') result) + every <meta name= content=>
     meta: dict[str, str] = {}
-    title_node = xpath_first(root, "//title")
-    if title_node is not None:
-        meta["title"] = title_node.text_content()
+    title_node = None
     for node in root.iter():
-        if node.tag == "meta":
+        if node.tag == "title" and title_node is None:
+            title_node = node
+        elif node.tag == "meta":
             name = node.attrs.get("name")
             content = node.attrs.get("content")
             if name and content is not None:
                 meta[name] = content
+    if title_node is not None:
+        # insertion order must match the original (title first) for the
+        # canonicalization's dict-order semantics
+        meta = {"title": title_node.text_content(), **meta}
     return meta
 
 
