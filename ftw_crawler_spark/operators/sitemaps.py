@@ -28,6 +28,7 @@ import xml.etree.ElementTree as ET
 from urllib.parse import urljoin, urlparse
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -139,29 +140,11 @@ def parse_sitemapindex_udf(xml: pd.Series, gz: pd.Series) -> pd.Series:
 DISCOVERY_SCHEMA = "site_id int, sitemap_url string, sitemap_ord int"
 
 
-def discover_sitemaps(spark: SparkSession, sites: list,
-                      sitemaps: DataFrame,
-                      errors: list | None = None) -> DataFrame:
-    """Resolve each site's ordered sitemap list against the sitemaps
-    table, reproducing the reference's discovery order (_resolve_site
-    is the driver-side reference semantics this must match). Returns
-    (site_id, sitemap_url, sitemap_ord) — one row per sitemap a real
-    crawl would fetch.
-
-    Executor-side: the only driver-side inputs are the site configs
-    themselves (4 probe URLs per site). Probes semi-join the sitemaps
-    relation — no ``.collect()`` of sitemap metadata or bodies — and
-    sitemap-INDEX bodies are parsed where they live via
-    ``parse_sitemapindex_udf``. Only *failed* sites are collected (for
-    the error report).
-
-    Per-site error isolation (P2, reference main.py:80-88): with
-    ``errors`` given, a site that resolves to no sitemap appends
-    ``{site_id, url, error}`` and is skipped — the other sites crawl
-    on. With ``errors=None`` (strict mode, direct callers/tests) the
-    first failure raises ``NoSitemapFound`` like the reference's
-    per-site ``crawl_and_index``.
-    """
+def _discover(spark: SparkSession, sites: list, sitemaps: DataFrame):
+    """Shared discovery plan: returns ``(discovered, failed)`` where
+    ``failed`` is the LAZY (site_id, url) relation of probe-less sites —
+    the caller decides whether to raise (strict mode) or fold it into
+    one combined error-report job (build_frontier)."""
     static_rows = []
     probed = []
     for site in sites:
@@ -172,8 +155,9 @@ def discover_sitemaps(spark: SparkSession, sites: list,
         else:
             probed.append(site)
     static_df = spark.createDataFrame(static_rows, DISCOVERY_SCHEMA)
+    empty_failed = spark.createDataFrame([], "site_id int, url string")
     if not probed:
-        return static_df
+        return static_df, empty_failed
 
     # 2./3. probe {site.url}/sitemap_index.xml[.gz] (must BE an index,
     # sitemap.py:36-48) then {site.url}/sitemap.xml[.gz] (must NOT be
@@ -212,8 +196,37 @@ def discover_sitemaps(spark: SparkSession, sites: list,
 
     probed_df = spark.createDataFrame(
         [(s.site_id, s.url) for s in probed], "site_id int, url string")
-    failed = (probed_df.join(chosen.select("site_id"), "site_id",
-                             "left_anti").collect())
+    failed = probed_df.join(chosen.select("site_id"), "site_id",
+                            "left_anti")
+    discovered = static_df.unionByName(idx_children).unionByName(singles)
+    return discovered, failed
+
+
+def discover_sitemaps(spark: SparkSession, sites: list,
+                      sitemaps: DataFrame,
+                      errors: list | None = None) -> DataFrame:
+    """Resolve each site's ordered sitemap list against the sitemaps
+    table, reproducing the reference's discovery order (_resolve_site
+    is the driver-side reference semantics this must match). Returns
+    (site_id, sitemap_url, sitemap_ord) — one row per sitemap a real
+    crawl would fetch.
+
+    Executor-side: the only driver-side inputs are the site configs
+    themselves (4 probe URLs per site). Probes semi-join the sitemaps
+    relation — no ``.collect()`` of sitemap metadata or bodies — and
+    sitemap-INDEX bodies are parsed where they live via
+    ``parse_sitemapindex_udf``. Only *failed* sites are collected (for
+    the error report).
+
+    Per-site error isolation (P2, reference main.py:80-88): with
+    ``errors`` given, a site that resolves to no sitemap appends
+    ``{site_id, url, error}`` and is skipped — the other sites crawl
+    on. With ``errors=None`` (strict mode, direct callers/tests) the
+    first failure raises ``NoSitemapFound`` like the reference's
+    per-site ``crawl_and_index``.
+    """
+    discovered, failed_df = _discover(spark, sites, sitemaps)
+    failed = failed_df.collect()
     if failed:
         if errors is None:
             raise NoSitemapFound(
@@ -221,7 +234,7 @@ def discover_sitemaps(spark: SparkSession, sites: list,
         for r in sorted(failed, key=lambda r: r["site_id"]):
             errors.append({"site_id": r["site_id"], "url": r["url"],
                            "error": f"No sitemap found for {r['url']}!"})
-    return static_df.unionByName(idx_children).unionByName(singles)
+    return discovered
 
 
 def _resolve_site(site, meta, index_bodies) -> list:
@@ -255,20 +268,20 @@ def _resolve_site(site, meta, index_bodies) -> list:
 # ---------------------------------------------------------------------------
 
 
-def expand_frontier(discovered: DataFrame, sitemaps: DataFrame) -> DataFrame:
-    """Join the discovery result to sitemap bodies, parse executor-side,
-    posexplode into the frontier with exact document order.
-
-    Output: (site_id, sitemap_url, sitemap_ord, url_ord, loc, lastmod,
-    changefreq, priority, target, host). The tiny discovery side is
-    broadcast; the parse runs where the XML partition lives — no
-    shuffle of bodies.
-    """
+def _parsed_entries(discovered: DataFrame,
+                    sitemaps: DataFrame) -> DataFrame:
+    """(site_id, sitemap_url, sitemap_ord, entries) — bodies parsed
+    executor-side where the XML partition lives (no shuffle of bodies);
+    ``entries`` NULL marks a parse failure, not an empty sitemap."""
     joined = sitemaps.join(F.broadcast(discovered), ["sitemap_url"],
                            "inner")
-    parsed = joined.select(
+    return joined.select(
         discovered["site_id"], "sitemap_url", "sitemap_ord",
         parse_urlset_udf(F.col("xml"), F.col("gz")).alias("entries"))
+
+
+def _explode_entries(parsed: DataFrame) -> DataFrame:
+    """Parsed entry arrays → the frontier rows, document order kept."""
     exploded = parsed.select(
         "site_id", "sitemap_url", "sitemap_ord",
         F.posexplode("entries").alias("url_ord", "entry"))
@@ -282,6 +295,18 @@ def expand_frontier(discovered: DataFrame, sitemaps: DataFrame) -> DataFrame:
         F.lower(F.parse_url(F.col("entry.loc"), F.lit("HOST")))
         .alias("host"),
     ).filter(F.col("loc").isNotNull())
+
+
+def expand_frontier(discovered: DataFrame, sitemaps: DataFrame) -> DataFrame:
+    """Join the discovery result to sitemap bodies, parse executor-side,
+    posexplode into the frontier with exact document order.
+
+    Output: (site_id, sitemap_url, sitemap_ord, url_ord, loc, lastmod,
+    changefreq, priority, target, host). The tiny discovery side is
+    broadcast; the parse runs where the XML partition lives — no
+    shuffle of bodies.
+    """
+    return _explode_entries(_parsed_entries(discovered, sitemaps))
 
 
 def expansion_errors(discovered: DataFrame,
@@ -298,25 +323,30 @@ def expansion_errors(discovered: DataFrame,
     here the unit of failure is the sitemap, the good ones still
     crawl, and the site is excluded from purge (its membership is
     incomplete, not empty)."""
-    joined = sitemaps.join(F.broadcast(discovered), ["sitemap_url"],
-                           "inner")
-    bad_parse = (joined.select(
-        discovered["site_id"], "sitemap_url",
-        parse_urlset_udf(F.col("xml"), F.col("gz")).alias("e"))
-        .filter(F.col("e").isNull())
-        .select("site_id", "sitemap_url",
-                F.lit("sitemap XML parse error").alias("error")))
-    missing = (discovered.join(sitemaps.select("sitemap_url"),
-                               "sitemap_url", "left_anti")
-               .select("site_id", "sitemap_url",
-                       F.lit("listed sitemap not fetchable")
-                       .alias("error")))
-    return bad_parse.unionByName(missing)
+    parsed = _parsed_entries(discovered, sitemaps)
+    return (_bad_parse_errors(parsed)
+            .unionByName(_missing_errors(discovered, sitemaps)))
+
+
+def _bad_parse_errors(parsed: DataFrame) -> DataFrame:
+    return (parsed.filter(F.col("entries").isNull())
+            .select("site_id", "sitemap_url",
+                    F.lit("sitemap XML parse error").alias("error")))
+
+
+def _missing_errors(discovered: DataFrame,
+                    sitemaps: DataFrame) -> DataFrame:
+    return (discovered.join(sitemaps.select("sitemap_url"),
+                            "sitemap_url", "left_anti")
+            .select("site_id", "sitemap_url",
+                    F.lit("listed sitemap not fetchable")
+                    .alias("error")))
 
 
 def build_frontier(spark: SparkSession, sites: list,
                    sitemaps: DataFrame,
-                   errors: list | None = None) -> DataFrame:
+                   errors: list | None = None,
+                   scratch: list | None = None) -> DataFrame:
     """Discovery + expansion + the deterministic global crawl order key.
 
     ``crawl_seq`` reproduces the reference's nested-loop total order:
@@ -327,14 +357,48 @@ def build_frontier(spark: SparkSession, sites: list,
     ``errors`` (optional list): per-site discovery failures AND
     per-sitemap expansion failures (parse errors, unfetchable index
     children) are recorded there and skipped instead of aborting the
-    run (see discover_sitemaps / expansion_errors)."""
-    discovered = discover_sitemaps(spark, sites, sitemaps, errors=errors)
-    if errors is not None:
-        for r in expansion_errors(discovered, sitemaps).collect():
-            errors.append({"site_id": r["site_id"],
-                           "url": r["sitemap_url"],
-                           "error": r["error"]})
-    frontier = expand_frontier(discovered, sitemaps)
+    run (see discover_sitemaps / expansion_errors).
+
+    Driver-latency shape: with ``errors`` given, the error report is
+    ONE combined job (discovery failures ∪ parse failures ∪ missing
+    children) over a persisted parsed-entries relation, so sitemap
+    bodies are parsed exactly once — the returned frontier re-reads
+    the parsed cache instead of re-running the XML UDF. The caller
+    unpersists via ``scratch`` (the persisted intermediates are
+    appended there) once its own frontier cache is warm."""
+    if errors is None:
+        discovered = discover_sitemaps(spark, sites, sitemaps)
+        frontier = expand_frontier(discovered, sitemaps)
+        return _with_crawl_seq(frontier)
+
+    discovered, failed_df = _discover(spark, sites, sitemaps)
+    parsed = _parsed_entries(discovered, sitemaps).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    if scratch is not None:
+        scratch.append(parsed)
+    # one driver round-trip for every failure class; rank keeps the
+    # report order deterministic (site-level first, like the reference's
+    # per-site try/except, then per-sitemap)
+    err_df = (
+        failed_df.select(
+            "site_id", "url",
+            F.concat(F.lit("No sitemap found for "), F.col("url"),
+                     F.lit("!")).alias("error"),
+            F.lit(0).alias("rank"))
+        .unionByName(_bad_parse_errors(parsed)
+                     .withColumnRenamed("sitemap_url", "url")
+                     .withColumn("rank", F.lit(1)))
+        .unionByName(_missing_errors(discovered, sitemaps)
+                     .withColumnRenamed("sitemap_url", "url")
+                     .withColumn("rank", F.lit(2))))
+    for r in sorted(err_df.collect(),
+                    key=lambda r: (r["rank"], r["site_id"], r["url"])):
+        errors.append({"site_id": r["site_id"], "url": r["url"],
+                       "error": r["error"]})
+    return _with_crawl_seq(_explode_entries(parsed))
+
+
+def _with_crawl_seq(frontier: DataFrame) -> DataFrame:
     # dense rank not required: any monotone function of the triple works
     return frontier.withColumn(
         "crawl_seq",

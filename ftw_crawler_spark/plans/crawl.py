@@ -246,8 +246,10 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
         # the run proceeds. The error metrics row is the analog of the
         # reference's failure notification (slack.py:15-61).
         site_errors: list = []
+        scratch: list = []
         frontier = build_frontier(spark, sites, world["sitemaps"],
-                                  errors=site_errors).cache()
+                                  errors=site_errors,
+                                  scratch=scratch).cache()
         for err in site_errors:
             metrics.append({"batch": -1, "event": "site_error", **err})
 
@@ -261,14 +263,21 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
             spark, [s for s in sites if s.site_id not in failed_ids])
         purged = purge_candidates(sink.current(), ok_sdf, frontier)
         sink.append_deletes(purged, batch_id=start_batch)
+        # the purge job materialized the frontier cache — the parsed-
+        # entries intermediate build_frontier persisted is now redundant
+        for df in scratch:
+            df.unpersist()
         t_purge = time.perf_counter()
 
         if url:
             frontier = frontier.filter(F.col("loc") == url)  # F2
 
+        # persist: three consumers below (skip metrics, the remaining
+        # snapshot, initial host state) would otherwise each re-run the
+        # bloom-probe + last-indexed join over the whole frontier
         annotated = _annotate_frontier(
             frontier, world, spark.read.parquet(sink.base_path), sdf,
-            force)
+            force).persist()
         to_crawl = annotated.filter(F.col("skip_reason").isNull())
         skips = {r["skip_reason"]: r["n"] for r in
                  annotated.filter(F.col("skip_reason").isNotNull())
@@ -285,6 +294,8 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
         host_state = politeness.initial_host_state(remaining, sdf)
         _write_ckpt(ckpt_root, -1, remaining, host_state)
         remaining, host_state = _read_ckpt(spark, ckpt_root, -1)
+        annotated.unpersist()
+        frontier.unpersist()
         last_full = -1
         start_batch = 0
 
