@@ -261,7 +261,10 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
         lo = F.conv(F.substring(col, 33, 32), 2, 10).cast("long")
         return F.shiftleft(hi, 32).bitwiseOR(lo)
 
-    fp = fp.withColumn("__shl", _as_long(F.col("simhash")))
+    # checkpoint before the band self-join: plain lineage would run the
+    # explode + 64-vote-sum fingerprint aggregation once per join side
+    fp = (fp.withColumn("__shl", _as_long(F.col("simhash")))
+          .localCheckpoint(eager=False))
     width = 64 // bands
     band_arr = F.array(*[
         F.struct(F.lit(i).alias("band_idx"),
@@ -326,18 +329,28 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("component", F.col("node")))
     for _ in range(max_iter):
+        # min label over each node's neighbours, pre-aggregated before
+        # the join back (map-side combine shrinks the shuffled hop set
+        # to one row per node)
         hop = (edges.join(labels,
                           edges["src"] == labels["node"])
-               .select(F.col("dst").alias("node"), "component"))
-        new_labels = (labels.unionByName(hop)
-                      .groupBy("node")
-                      .agg(F.min("component").alias("component"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.component") != F.col("o.component"))
+               .groupBy(F.col("dst").alias("node"))
+               .agg(F.min("component").alias("__h")))
+        # carry old + new side by side so the convergence check is a
+        # scan of this round's checkpoint, not another shuffle join
+        upd = (labels.join(hop, "node", "left")
+               .select("node", F.col("component").alias("__old"),
+                       F.least(
+                           "component",
+                           F.coalesce("__h", F.col("component")))
+                       .alias("component"))
+               # lazy: the convergence count below is the action that
+               # materializes this round's checkpoint — one job per
+               # round, and the next round reads the stored partitions
+               .localCheckpoint(eager=False))
+        changed = (upd.filter(F.col("component") < F.col("__old"))
                    .limit(1).count())
-        labels = new_labels
+        labels = upd.select("node", "component")
         if changed == 0:
             break
     return labels
