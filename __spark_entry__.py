@@ -551,10 +551,13 @@ def _ngram_pairs(spark, sf_dir):
 
 
 def _minhash_sql(n_perm: int = 16, bands: int = 4) -> str:
+    # same universal-hash family as operators/dedup.py: one md5 base
+    # hash per shingle, then (a_i*x + b_i) mod MINHASH_P per permutation
     r = n_perm // bands
+    consts = dedup._minhash_consts(n_perm)
     mins = ",\n  ".join(
-        f"min(('0x'||substr(md5('{i}:'||s),1,15))::BIGINT) AS mh{i}"
-        for i in range(n_perm))
+        f"min(({a}*x+{b})%{dedup.MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(consts))
     band_rows = "\nUNION ALL\n".join(
         "SELECT doc_id, {b} AS band_idx, md5({expr}) AS band_hash FROM sig"
         .format(b=b, expr="||':'||".join(
@@ -565,7 +568,9 @@ WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
 sh AS (SELECT doc_id, list_distinct(
          [t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1)]) AS shs
        FROM toks WHERE len(t) >= 3),
-ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+ex AS (SELECT doc_id,
+       (('0x'||substr(md5(unnest(shs)),1,15))::BIGINT
+        & {dedup.MINHASH_MASK}) AS x FROM sh),
 sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
 bands AS ({band_rows})
 """

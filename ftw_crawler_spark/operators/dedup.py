@@ -32,6 +32,28 @@ P_SHINGLE_WIDTH = 3
 DEFAULT_N_PERM = 16
 DEFAULT_BANDS = 4
 
+# universal-hash family for the minhash permutations:
+# h_i(x) = (a_i * x + b_i) mod MINHASH_P over x = base-hash & MINHASH_MASK.
+# One md5 per shingle + n_perm codegen multiply-add-mods, instead of
+# n_perm md5 invocations per shingle row; every constant is embedded in
+# the DuckDB oracle SQL too, so the sketch stays engine-bit-identical.
+# Bounds: a < 2^20 (odd), x < 2^40 -> a*x + b < 2^61, no 64-bit
+# overflow in either engine; MINHASH_P = smallest prime > 2^40.
+MINHASH_P = 1099511627791
+MINHASH_MASK = (1 << 40) - 1
+
+
+def _minhash_consts(n_perm: int) -> list:
+    import hashlib
+    out = []
+    for i in range(n_perm):
+        a = int(hashlib.md5(f"mh-a-{i}".encode())
+                .hexdigest()[:5], 16) | 1
+        b = int(hashlib.md5(f"mh-b-{i}".encode())
+                .hexdigest()[:10], 16)
+        out.append((a, b))
+    return out
+
 
 def md5_long(col: Column) -> Column:
     """60-bit positive hash identical across Spark/DuckDB/Python."""
@@ -108,9 +130,9 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        n_perm: int = DEFAULT_N_PERM,
                        use_md5: bool = True) -> DataFrame:
-    """(id, mh_0..mh_{n-1}): minhash signature via explode →
-    per-row salted hashes (whole-stage codegen) → map-side-combined
-    min-aggregation on the doc id.
+    """(id, mh_0..mh_{n-1}): minhash signature via explode → one base
+    hash + affine permutation family per shingle row (whole-stage
+    codegen) → map-side-combined min-aggregation on the doc id.
 
     This is deliberately NOT the per-row array form
     (``array_min(transform(shingles, salted))``): higher-order
@@ -121,12 +143,19 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     sh = F.array_distinct(shingles_col(toks))
     ex = docs.select(F.col(id_col), F.explode(sh).alias("__s"))
     if use_md5:
-        hcols = [md5_long(F.concat(F.lit(f"{i}:"), F.col("__s")))
-                 .alias(f"__h{i}") for i in range(n_perm)]
+        # one engine-neutral base hash per shingle, then the affine
+        # permutation family — n_perm multiply-add-mods in codegen
+        # instead of n_perm md5 calls per shingle row
+        x = md5_long(F.col("__s")).bitwiseAND(F.lit(MINHASH_MASK))
+        hashed = ex.withColumn("__x", x).select(
+            id_col, *[((F.lit(a) * F.col("__x") + F.lit(b))
+                       % F.lit(MINHASH_P)).alias(f"__h{i}")
+                      for i, (a, b) in
+                      enumerate(_minhash_consts(n_perm))])
     else:
         hcols = [F.xxhash64(F.col("__s"), F.lit(i)).alias(f"__h{i}")
                  for i in range(n_perm)]
-    hashed = ex.select(id_col, *hcols)
+        hashed = ex.select(id_col, *hcols)
     return hashed.groupBy(id_col).agg(
         *[F.min(f"__h{i}").alias(f"mh_{i}") for i in range(n_perm)])
 
