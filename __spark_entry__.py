@@ -535,9 +535,15 @@ def _ngram_pairs(spark, sf_dir):
     shingle-hash index self-join."""
     docs = _t(spark, sf_dir, "documents")
     sh = F.array_distinct(dedup.shingles_col(dedup.tokens_col("text")))
+    # xxhash64, not md5: the shingle hash is only an equi-join key that
+    # never leaves the plan (the oracle joins raw strings), so the
+    # cheaper engine-local hash is safe. Recomputing the explode per
+    # consumer beats checkpointing it (the exploded relation is the
+    # biggest intermediate in this plan; storing it costs more than the
+    # three codegen scans).
     ex = (docs.select("doc_id", F.explode(sh).alias("s"))
-          .select("doc_id", dedup.md5_long(F.col("s")).alias("sh")))
-    sizes = ex.groupBy("doc_id").agg(F.countDistinct("sh").alias("n"))
+          .select("doc_id", F.xxhash64("s").alias("sh")))
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ex.select(F.col("doc_id").alias("a"), "sh")
     b = ex.select(F.col("doc_id").alias("b"), "sh")
     shared = (a.join(b, "sh").filter(F.col("a") < F.col("b"))

@@ -228,10 +228,12 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
             F.count(F.lit(1)).alias("df"))
         exploded = (exploded.join(
             df_counts.filter(F.col("df") <= max_df), "sh", "left_semi"))
+    # (id, sh) is distinct by construction (array_distinct before the
+    # explode) — no distinct/countDistinct shuffles needed
     sizes = exploded.groupBy(id_col).agg(
-        F.countDistinct("sh").alias("n_sh"))
-    a = exploded.select(F.col(id_col).alias("a"), "sh").distinct()
-    b = exploded.select(F.col(id_col).alias("b"), "sh").distinct()
+        F.count(F.lit(1)).alias("n_sh"))
+    a = exploded.select(F.col(id_col).alias("a"), "sh")
+    b = exploded.select(F.col(id_col).alias("b"), "sh")
     shared = (a.join(b, "sh").filter(F.col("a") < F.col("b"))
               .groupBy("a", "b")
               .agg(F.count(F.lit(1)).alias("shared")))
