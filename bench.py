@@ -61,34 +61,49 @@ def _ensure_world(spark, n_urls: int) -> str:
 
 
 def bench_crawl(spark, sf: float, n_urls: int | None = None,
-                batch_seconds: float | None = None) -> dict:
+                batch_seconds: float | None = None,
+                repeats: int = 2) -> dict:
     """Headline: full pipeline throughput, world-gen excluded.
 
     ``batch_seconds`` (the simulated politeness wall-budget per
     micro-batch) scales with world size so the batch COUNT stays small
     and constant — politeness capacity is per-host-per-batch, so a fixed
     budget would turn a 15× bigger world into 15× more batches and
-    benchmark scheduler latency instead of pipeline throughput."""
+    benchmark scheduler latency instead of pipeline throughput.
+
+    ``repeats``: the crawl runs ``repeats`` times into fresh output
+    dirs and the fastest run is reported (all runs recorded in
+    ``all_secs``). The first run also warms JVM codegen and Python
+    workers; best-of-N additionally guards against the rig's ambient
+    host-contention windows (measured ±25% on all-core stages with an
+    idle guest — see BASELINE.md variance attribution)."""
     from ftw_crawler_spark.plans.crawl import run_crawl
     n_urls = n_urls or max(2_000, int(200_000 * sf))
     batch_seconds = batch_seconds or max(600.0, n_urls * 0.025)
     world = _ensure_world(spark, n_urls)
-    out = tempfile.mkdtemp(prefix="ftw_bench_crawl_")
-    try:
-        t0 = time.perf_counter()
-        result = run_crawl(spark, world, out, crawl_time=CRAWL_TIME,
-                           batch_seconds=batch_seconds)
-        sec = time.perf_counter() - t0
-        # post-crawl verification read (MOR-resolve + count) — NOT part
-        # of crawl throughput; every batch was already fully written
-        # and counted inside run_crawl
-        n_indexed = result.index().count()
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    all_secs = []
+    best = None
+    for _ in range(max(1, repeats)):
+        out = tempfile.mkdtemp(prefix="ftw_bench_crawl_")
+        try:
+            t0 = time.perf_counter()
+            result = run_crawl(spark, world, out, crawl_time=CRAWL_TIME,
+                               batch_seconds=batch_seconds)
+            sec = time.perf_counter() - t0
+            # post-crawl verification read (MOR-resolve + count) — NOT
+            # part of crawl throughput; every batch was already fully
+            # written and counted inside run_crawl
+            n_indexed = result.index().count()
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+        all_secs.append(round(sec, 3))
+        if best is None or sec < best[0]:
+            best = (sec, result, n_indexed)
+    sec, result, n_indexed = best
     urls = sum(m.get("indexed", 0) for m in result.metrics
                if isinstance(m.get("indexed"), int))
     return {"urls": urls, "indexed_total": n_indexed,
-            "sec": round(sec, 3),
+            "sec": round(sec, 3), "all_secs": all_secs,
             "urls_per_sec": round(urls / sec, 2) if sec > 0 else 0.0,
             "n_urls_world": n_urls, "batches": result.batches}
 
