@@ -1539,6 +1539,42 @@ def _upsert_merge(spark, sf_dir):
     return sink.current().select("UID", "doc_id", "title")
 
 
+@_q("index_snapshot_diff", """
+WITH old AS (SELECT doc_id, source, n_chars FROM documents
+             WHERE doc_id % 10 <> 0),
+new AS (SELECT doc_id, source,
+        CASE WHEN doc_id % 3 = 0 THEN n_chars + 1 ELSE n_chars END
+          AS n_chars
+        FROM documents WHERE doc_id % 7 <> 0)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN o.source IS NOT DISTINCT FROM n.source
+        AND o.n_chars IS NOT DISTINCT FROM n.n_chars THEN 'unchanged'
+       ELSE 'changed' END AS change,
+  o.source AS old_source, o.n_chars AS old_n_chars,
+  n.source AS new_source, n.n_chars AS new_n_chars
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+""")
+def _snapshot_diff(spark, sf_dir):
+    """Re-crawl delta report (the operational view of an incremental
+    crawl): two index snapshots full-outer-joined on the key, rows
+    classified added/removed/changed/unchanged by a NULL-safe
+    fingerprint compare. Both scans prune to key + fingerprint
+    columns, so the shuffle carries fingerprints, not documents."""
+    from ftw_crawler_spark.operators.incremental import snapshot_diff
+    docs = _t(spark, sf_dir, "documents")
+    old = (docs.filter(F.col("doc_id") % 10 != 0)
+           .select("doc_id", "source", "n_chars"))
+    new = (docs.filter(F.col("doc_id") % 7 != 0)
+           .select("doc_id", "source",
+                   F.when(F.col("doc_id") % 3 == 0,
+                          F.col("n_chars") + 1)
+                   .otherwise(F.col("n_chars")).alias("n_chars")))
+    return snapshot_diff(old, new, key_col="doc_id",
+                         fingerprint_cols=("source", "n_chars"))
+
+
 @_q("robots_gate", """
 WITH paths AS (
   SELECT doc_id, '/' || source || '/doc-' || doc_id AS path

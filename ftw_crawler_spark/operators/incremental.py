@@ -110,3 +110,40 @@ def is_modified_col(force: bool = False):
             F.when(F.col("warc_ts").isNotNull(),
                    F.col("warc_ts") > F.col("last_indexed"))
             .otherwise(F.lit(True))))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  key_col: str = "UID",
+                  fingerprint_cols: tuple = ("url", "modified")) -> DataFrame:
+    """Re-crawl delta report between two index snapshots: one row per
+    key present in either snapshot, classified ``added`` / ``removed``
+    / ``changed`` / ``unchanged`` by comparing the fingerprint columns
+    (NULL-safe).
+
+    This is the operational view of an incremental crawl (what did the
+    run actually do to the index) and the input to downstream refresh
+    triggers. One full-outer shuffle join on the key — both snapshot
+    scans prune to ``key + fingerprint`` columns, so at 10^10 keys the
+    shuffled bytes are the fingerprints, not the documents.
+    """
+    def side(df, tag):
+        return df.select(
+            F.col(key_col),
+            *[F.col(c).alias(f"__{tag}_{c}") for c in fingerprint_cols],
+            F.lit(True).alias(f"__in_{tag}"))
+
+    joined = side(old, "old").join(side(new, "new"), key_col, "full_outer")
+    same = F.lit(True)
+    for c in fingerprint_cols:
+        same = same & F.col(f"__old_{c}").eqNullSafe(F.col(f"__new_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed")))
+    return joined.select(
+        F.col(key_col), change.alias("change"),
+        *[F.col(f"__old_{c}").alias(f"old_{c}")
+          for c in fingerprint_cols],
+        *[F.col(f"__new_{c}").alias(f"new_{c}")
+          for c in fingerprint_cols])

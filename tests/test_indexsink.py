@@ -104,3 +104,21 @@ def test_incomplete_compaction_tmp_discarded(spark, tmp_path):
     after = sorted((r["UID"], r["Title"])
                    for r in sink2.current().collect())
     assert after == before
+
+
+def test_snapshot_diff_classification(spark):
+    from ftw_crawler_spark.operators.incremental import snapshot_diff
+    old = spark.createDataFrame(
+        [("a", "u1", 10), ("b", "u2", 20), ("c", "u3", 30),
+         ("d", None, 40)],
+        "UID string, url string, n long")
+    new = spark.createDataFrame(
+        [("b", "u2", 20), ("c", "u3-moved", 30), ("d", None, 40),
+         ("e", "u5", 50)],
+        "UID string, url string, n long")
+    out = {r["UID"]: r["change"] for r in snapshot_diff(
+        old, new, key_col="UID",
+        fingerprint_cols=("url", "n")).collect()}
+    assert out == {"a": "removed", "b": "unchanged", "c": "changed",
+                   "d": "unchanged",  # NULL fingerprint compares equal
+                   "e": "added"}
