@@ -30,14 +30,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def initial_host_state(frontier: DataFrame, sites: DataFrame) -> DataFrame:
+def initial_host_state(frontier: DataFrame, sites: DataFrame,
+                       crawl_delays: DataFrame | None = None) -> DataFrame:
     """(host, sleeptime) — seeded from each host's site sleeptime
-    (configuration.py:67 default 0.1)."""
-    return (frontier.join(F.broadcast(sites.select(
+    (configuration.py:67 default 0.1).
+
+    ``crawl_delays``: optional (host, crawl_delay) from
+    ``robots.robots_crawl_delays`` — a host's declared Crawl-delay
+    raises its effective sleeptime (never lowers it: the site config
+    is the operator's own floor)."""
+    hs = (frontier.join(F.broadcast(sites.select(
         "site_id", F.col("sleeptime").alias("site_sleeptime"))),
         "site_id")
         .groupBy("host")
         .agg(F.max("site_sleeptime").alias("sleeptime")))
+    if crawl_delays is not None:
+        hs = (hs.join(F.broadcast(crawl_delays), "host", "left")
+              .select("host",
+                      F.greatest(
+                          "sleeptime",
+                          F.coalesce("crawl_delay", F.lit(0.0)))
+                      .alias("sleeptime")))
+    return hs
 
 
 def select_batch(remaining: DataFrame, host_state: DataFrame,

@@ -67,6 +67,56 @@ def parse_robots_txt(text: str) -> list:
     return rules
 
 
+def parse_crawl_delay(text: str) -> float | None:
+    """``Crawl-delay`` of the ``User-agent: *`` group (the de-facto REP
+    extension — not in RFC 9309 but honored by major crawlers). First
+    valid value in the group wins; absent/invalid ⇒ None. Same group
+    semantics as parse_robots_txt."""
+    delay = None
+    active = False
+    in_agents = True
+    agents: list = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not in_agents:
+                agents = []
+                in_agents = True
+            agents.append(value)
+            active = "*" in agents
+        else:
+            in_agents = False
+            if key == "crawl-delay" and active and delay is None:
+                try:
+                    delay = float(value)
+                except ValueError:
+                    pass
+    return delay
+
+
+@F.pandas_udf(T.DoubleType())
+def parse_crawl_delay_udf(body: pd.Series) -> pd.Series:
+    return pd.Series([
+        parse_crawl_delay(bytes(b).decode("utf-8", errors="replace"))
+        if b is not None else None
+        for b in body], dtype="float64")
+
+
+def robots_crawl_delays(robots: DataFrame, host_col: str = "host",
+                        body_col: str = "robots_txt") -> DataFrame:
+    """(host, crawl_delay) for hosts whose robots declares one — tiny
+    (per-host), broadcast into the politeness host-state seed."""
+    return (robots.select(
+        F.col(host_col).alias("host"),
+        parse_crawl_delay_udf(F.col(body_col)).alias("crawl_delay"))
+        .filter(F.col("crawl_delay").isNotNull()))
+
+
 def is_path_allowed(path: str, rules: list) -> bool:
     """Longest-prefix match; ties → allow. Oracle-side evaluator."""
     best_len = -1

@@ -291,7 +291,12 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                         round(time.perf_counter() - t_purge, 3)})
 
         remaining = to_crawl
-        host_state = politeness.initial_host_state(remaining, sdf)
+        # robots Crawl-delay (de-facto REP extension) raises a host's
+        # effective sleeptime above the site config's value
+        delays = (robots.robots_crawl_delays(world["robots"])
+                  if world.get("robots") is not None else None)
+        host_state = politeness.initial_host_state(remaining, sdf,
+                                                   crawl_delays=delays)
         _write_ckpt(ckpt_root, -1, remaining, host_state)
         remaining, host_state = _read_ckpt(spark, ckpt_root, -1)
         annotated.unpersist()

@@ -95,3 +95,52 @@ def test_crawl_world_gates_disallowed_buckets(spark, tiny_world):
     # the gate actually fired: site0 has /page/13/ urls in its sitemaps
     # that must be absent from the crawl
     assert any(u.startswith(site0) for u in crawled)
+
+
+def test_parse_crawl_delay_group_semantics():
+    from ftw_crawler_spark.operators.robots import parse_crawl_delay
+    assert parse_crawl_delay(
+        "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n") == 2.5
+    # delay in a non-* group does not apply
+    assert parse_crawl_delay(
+        "User-agent: otherbot\nCrawl-delay: 9\n"
+        "User-agent: *\nDisallow: /x\n") is None
+    # first valid value in the * group wins; invalid values skipped
+    assert parse_crawl_delay(
+        "User-agent: *\nCrawl-delay: nope\nCrawl-delay: 3\n"
+        "Crawl-delay: 7\n") == 3.0
+    assert parse_crawl_delay("User-agent: *\nDisallow: /\n") is None
+
+
+def test_crawl_delay_raises_politeness_sleeptime(spark):
+    from ftw_crawler_spark.operators import politeness
+    from ftw_crawler_spark.operators.robots import robots_crawl_delays
+
+    frontier = spark.createDataFrame(
+        [(0, f"https://slow.example.org/d{i}", "slow.example.org", i)
+         for i in range(10)]
+        + [(1, f"https://fast.example.org/d{i}", "fast.example.org",
+            100 + i) for i in range(10)],
+        "site_id int, loc string, host string, crawl_seq long")
+    sites = spark.createDataFrame(
+        [(0, "https://slow.example.org/", 0.1),
+         (1, "https://fast.example.org/", 0.1)],
+        "site_id int, url string, sleeptime double")
+    robots = spark.createDataFrame(
+        [("slow.example.org",
+          b"User-agent: *\nCrawl-delay: 30\n")],
+        "host string, robots_txt binary")
+
+    delays = robots_crawl_delays(robots)
+    hs = politeness.initial_host_state(frontier, sites,
+                                       crawl_delays=delays)
+    state = {r["host"]: r["sleeptime"] for r in hs.collect()}
+    assert state["slow.example.org"] == 30.0   # raised by robots
+    assert state["fast.example.org"] == 0.1    # site config floor
+
+    # batch budget 60s: slow host admits floor(60/30)=2, fast all 10
+    batch = politeness.select_batch(frontier, hs, 60.0)
+    per_host = {r["host"]: r["n"] for r in
+                batch.groupBy("host").agg(
+                    F.count(F.lit(1)).alias("n")).collect()}
+    assert per_host == {"slow.example.org": 2, "fast.example.org": 10}
