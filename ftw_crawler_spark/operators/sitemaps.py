@@ -226,12 +226,14 @@ def discover_sitemaps(spark: SparkSession, sites: list,
     per-site ``crawl_and_index``.
     """
     discovered, failed_df = _discover(spark, sites, sitemaps)
-    failed = failed_df.collect()
+    failed = sorted(failed_df.collect(), key=lambda r: r["site_id"])
     if failed:
         if errors is None:
+            # lowest site_id first — collect order of a distributed
+            # relation is not deterministic, the raised message must be
             raise NoSitemapFound(
                 f"No sitemap found for {failed[0]['url']}!")
-        for r in sorted(failed, key=lambda r: r["site_id"]):
+        for r in failed:
             errors.append({"site_id": r["site_id"], "url": r["url"],
                            "error": f"No sitemap found for {r['url']}!"})
     return discovered
