@@ -1,0 +1,83 @@
+"""WARC source: record parsing, gzip layouts, page-store adapter."""
+
+from __future__ import annotations
+
+import gzip
+
+from ftw_crawler_spark.sources.warc import (parse_warc_bytes, read_warc,
+                                            warc_to_pages)
+
+
+def _http(body: bytes, status: int = 200,
+          ctype: bytes = b"text/html") -> bytes:
+    return (b"HTTP/1.1 %d OK\r\nContent-Type: %s\r\n\r\n%s"
+            % (status, ctype, body))
+
+
+def _record(rtype: bytes, uri: bytes | None, payload: bytes,
+            date: bytes = b"2026-01-02T03:04:05Z") -> bytes:
+    head = [b"WARC/1.0", b"WARC-Type: " + rtype,
+            b"WARC-Date: " + date,
+            b"Content-Length: " + str(len(payload)).encode()]
+    if uri is not None:
+        head.insert(2, b"WARC-Target-URI: " + uri)
+    return b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+HTML_A = b"<html><body>doc a</body></html>"
+HTML_B = b"<html><body>doc b</body></html>"
+
+
+def _sample_warc() -> bytes:
+    return b"".join([
+        _record(b"warcinfo", None, b"software: test\r\n"),
+        _record(b"response", b"http://a.example.org/x", _http(HTML_A)),
+        _record(b"request", b"http://a.example.org/x",
+                b"GET /x HTTP/1.1\r\n\r\n"),
+        _record(b"response", b"http://b.example.org/y",
+                _http(HTML_B, status=404)),
+    ])
+
+
+def test_parse_warc_plain():
+    rows = parse_warc_bytes(_sample_warc())
+    assert [(r[0], r[2]) for r in rows] == [
+        ("http://a.example.org/x", 200),
+        ("http://b.example.org/y", 404)]
+    url, ts, status, ctype, html = rows[0]
+    assert html == HTML_A and ctype == "text/html"
+    assert ts.isoformat() == "2026-01-02T03:04:05"
+
+
+def test_parse_warc_gzip_layouts():
+    # whole-file gzip
+    assert len(parse_warc_bytes(gzip.compress(_sample_warc()))) == 2
+    # per-record gzip members (the Common Crawl layout)
+    members = b"".join(
+        gzip.compress(_record(b"response", u, _http(h)))
+        for u, h in ((b"http://a/1", HTML_A), (b"http://a/2", HTML_B)))
+    rows = parse_warc_bytes(members)
+    assert [r[0] for r in rows] == ["http://a/1", "http://a/2"]
+
+
+def test_parse_warc_truncated_tail_keeps_prefix():
+    data = _sample_warc() + b"WARC/1.0\r\nWARC-Type: response\r\n" \
+        b"Content-Length: 99999\r\n\r\ntruncated"
+    assert len(parse_warc_bytes(data)) == 2
+
+
+def test_read_warc_and_pages_adapter(spark, tmp_path):
+    p = tmp_path / "seg-00000.warc.gz"
+    p.write_bytes(gzip.compress(_sample_warc()))
+    df = read_warc(spark, str(tmp_path))
+    rows = {r["url"]: r for r in df.collect()}
+    assert set(rows) == {"http://a.example.org/x",
+                         "http://b.example.org/y"}
+    assert bytes(rows["http://a.example.org/x"]["html"]) == HTML_A
+    assert rows["http://b.example.org/y"]["status"] == 404
+
+    pages = warc_to_pages(df)
+    got = pages.collect()
+    assert [r["url"] for r in got] == ["http://a.example.org/x"]
+    assert got[0]["warc_ts"] is not None
+    assert set(pages.columns) == {"url", "warc_ts", "html", "text"}
