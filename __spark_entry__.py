@@ -1029,6 +1029,44 @@ def _quality(spark, sf_dir):
     return ts.quality_stats(_t(spark, sf_dir, "documents"))
 
 
+@_q("curation_pipeline", f"""
+WITH lang AS ({_lang_sql()}),
+toks2 AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+q AS (SELECT doc_id,
+       (len(t) >= 10 AND len(t) <= 10000
+        AND list_sum(list_transform(t, x -> length(x))) >= 3 * len(t)
+        AND list_sum(list_transform(t, x -> length(x))) <= 12 * len(t))
+         AS quality_ok
+      FROM toks2),
+kept AS (SELECT d.doc_id, d.text, d.source, l.pred_lang
+         FROM documents d
+         JOIN lang l USING (doc_id) JOIN q USING (doc_id)
+         WHERE l.pred_lang = 'en' AND q.quality_ok),
+uniq AS (SELECT * FROM (
+           SELECT kept.*, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+           FROM kept) WHERE doc_id = rep)
+SELECT doc_id, source, pred_lang FROM uniq
+WHERE {_MD5L.format("'s:' || doc_id")} % 1000000 < 600000
+""")
+def _curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation as ONE composed plan: language
+    filter (codegen stopword votes) -> quality gate (integer token
+    stats) -> exact dedup (min-id representative per content hash) ->
+    deterministic 60% hash sample. Four operators, two shuffles total
+    (the dedup groupBy + its semi-join); every stage is the same
+    operator the individual queries check."""
+    from ftw_crawler_spark.operators import sampling
+    docs = _t(spark, sf_dir, "documents")
+    lang = ts.lang_id(docs)
+    qual = ts.quality_stats(docs).select("doc_id", "quality_ok")
+    kept = (docs.join(lang, "doc_id").join(qual, "doc_id")
+            .filter((F.col("pred_lang") == "en")
+                    & F.col("quality_ok")))
+    unique = dedup.drop_exact_dups(kept)
+    sampled = sampling.hash_sample(unique, "doc_id", rate_ppm=600_000)
+    return sampled.select("doc_id", "source", "pred_lang")
+
+
 @_q("token_counts", f"""
 SELECT doc_id,
   len({_TOKS_SQL}) AS n_ws_tokens,
