@@ -59,6 +59,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--compact-every", type=int, default=16,
                    help="fold the index MOR delta log into the base "
                         "when it exceeds K generations (0 = never)")
+    p.add_argument("--warc-dir", default=None,
+                   help="ingest WARC archives (Common Crawl layout) "
+                        "from this path into the world's page store "
+                        "before crawling (sources/warc.py)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -77,6 +81,14 @@ def main(argv: list[str] | None = None) -> int:
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
              .getOrCreate())
+    if args.warc_dir:
+        # land WARC responses into the world's page store: the crawl
+        # then fetch-simulates from real archived pages
+        from ftw_crawler_spark.sources.warc import read_warc, warc_to_pages
+        pages = warc_to_pages(read_warc(spark, args.warc_dir))
+        pages.write.mode("overwrite").parquet(
+            f"{args.world}/pages.parquet")
+
     result = run_crawl(
         spark, args.world, args.out, sites=sites, config=config,
         crawl_time=datetime.fromisoformat(args.crawl_time),
