@@ -65,13 +65,15 @@ def _gunzip_members(data: bytes) -> bytes:
     return b"".join(out)
 
 
-def _parse_headers(block: bytes) -> dict:
+def _parse_headers(block: bytes, encoding: str = "latin-1") -> dict:
+    """``encoding``: WARC named headers are UTF-8 (ISO 28500 §4);
+    HTTP payload headers keep the latin-1 convention."""
     headers: dict = {}
     for line in block.split(b"\r\n"):
         if b":" in line:
             k, _, v = line.partition(b":")
             headers[k.strip().lower().decode("latin-1")] = \
-                v.strip().decode("latin-1", errors="replace")
+                v.strip().decode(encoding, errors="replace")
     return headers
 
 
@@ -117,7 +119,7 @@ def parse_warc_bytes(data: bytes, filename: str = "") -> list:
         hdr_end = data.find(b"\r\n\r\n", pos)
         if hdr_end < 0:
             break
-        headers = _parse_headers(data[pos:hdr_end])
+        headers = _parse_headers(data[pos:hdr_end], encoding="utf-8")
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
@@ -168,13 +170,24 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             .mapInPandas(parse, schema=WARC_SCHEMA))
 
 
+@F.pandas_udf(T.StringType())
+def _html_to_text_udf(html: pd.Series, ctype: pd.Series) -> pd.Series:
+    from ftw_crawler_spark.functions.html import html_to_text
+    return pd.Series([
+        html_to_text(bytes(h) if h is not None else None, c)
+        for h, c in zip(html, ctype)])
+
+
 def warc_to_pages(warc_df: DataFrame) -> DataFrame:
     """Adapt WARC records to the crawl page-store schema (url, warc_ts,
-    html, text): successful HTML responses only; ``text`` is NULL (the
-    extraction engine derives SearchableText from html — the synthetic
-    worlds pre-fill text only as an oracle convenience)."""
+    html, text): successful responses only, with ``text`` derived as
+    ``html_to_text(html)`` — the page store's contract (the extraction
+    engine reads the ``text`` column as the Tika ``/tika`` analog
+    output, synth.py:7-9, so it must be materialized here, not left
+    NULL). Arrow-batched, executor-side."""
     return (warc_df
             .filter((F.col("status") == 200)
                     & F.col("url").isNotNull())
             .select("url", "warc_ts", "html",
-                    F.lit(None).cast("string").alias("text")))
+                    _html_to_text_udf(F.col("html"), F.col("content_type"))
+                    .alias("text")))
