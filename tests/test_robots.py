@@ -144,3 +144,27 @@ def test_crawl_delay_raises_politeness_sleeptime(spark):
                 batch.groupBy("host").agg(
                     F.count(F.lit(1)).alias("n")).collect()}
     assert per_host == {"slow.example.org": 2, "fast.example.org": 10}
+
+
+def test_sitemap_directives_parse_and_spark(spark):
+    from ftw_crawler_spark.operators.robots import (
+        parse_sitemap_directives, robots_sitemap_urls)
+    body = (b"User-agent: *\nDisallow: /x\n"
+            b"Sitemap: https://a.example.org/sm1.xml\n"
+            b"User-agent: otherbot\n"
+            b"Sitemap: https://a.example.org/sm2.xml.gz\n"
+            b"# Sitemap: https://a.example.org/commented.xml\n"
+            b"sitemap:\n")
+    # group-independent (RFC 9309 2.2.4): both directives apply,
+    # commented/empty ones do not
+    assert parse_sitemap_directives(body.decode()) == [
+        "https://a.example.org/sm1.xml",
+        "https://a.example.org/sm2.xml.gz"]
+    robots = spark.createDataFrame(
+        [("a.example.org", body), ("b.example.org", b"User-agent: *\n")],
+        "host string, robots_txt binary")
+    rows = sorted((r["host"], r["sitemap_ord"], r["sitemap_url"])
+                  for r in robots_sitemap_urls(robots).collect())
+    assert rows == [
+        ("a.example.org", 0, "https://a.example.org/sm1.xml"),
+        ("a.example.org", 1, "https://a.example.org/sm2.xml.gz")]
