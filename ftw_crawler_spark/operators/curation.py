@@ -41,9 +41,13 @@ PII_RULES = (
 def pii_scan(docs: DataFrame, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
     """(id, n_email, n_phone, n_ipv4, redacted): per-document PII hit
-    counts plus the text with every match replaced by its placeholder,
-    rules applied in PII_RULES order (email → phone → ipv4, so an
-    address inside an already-redacted span is not double-counted).
+    counts plus the text with every match replaced by its placeholder.
+
+    Counts are computed over the ORIGINAL text (so a phone number
+    embedded in an email local-part counts for both rules), while the
+    redaction applies the rules sequentially in PII_RULES order
+    (email → phone → ipv4) to the progressively redacted value — the
+    DuckDB oracle pins both behaviors byte-for-byte.
 
     Pure column algebra — survives any corpus size without a shuffle.
     """

@@ -119,6 +119,38 @@ def parse_urlset_udf(xml: pd.Series, gz: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@F.pandas_udf(T.StringType())
+def probe_state_udf(xml: pd.Series, gz: pd.Series) -> pd.Series:
+    """Classify a probe body the way the reference validates it:
+    'index' (has a //sitemapindex node — SitemapIndex.is_sitemap_index,
+    sitemap.py:67-68), 'urlset' (has //urlset — Sitemap.is_sitemap,
+    sitemap.py:188-189), 'other' (well-formed XML that is neither —
+    the reference falls through to the next probe name,
+    sitemap.py:36-48, 164-175), or 'invalid' (XML parse failure — the
+    reference raises from the Sitemap/SitemapIndex constructor,
+    sitemap.py:185,206-209, aborting the site). Runs on ≤4 probe
+    bodies per site, executor-side."""
+    out = []
+    for x, g in zip(xml, gz):
+        try:
+            b = bytes(x)
+            if g:
+                b = gunzip(b)
+            root = ET.parse(io.BytesIO(b)).getroot()
+        except Exception:
+            out.append("invalid")
+            continue
+        tags = {_strip_ns(e.tag) for e in root.iter()}
+        tags.add(_strip_ns(root.tag))
+        if "sitemapindex" in tags:
+            out.append("index")
+        elif "urlset" in tags:
+            out.append("urlset")
+        else:
+            out.append("other")
+    return pd.Series(out)
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def parse_sitemapindex_udf(xml: pd.Series, gz: pd.Series) -> pd.Series:
     """<sitemapindex> body → ordered child sitemap locs (sitemap.py:211-219),
@@ -155,13 +187,19 @@ def _discover(spark: SparkSession, sites: list, sitemaps: DataFrame):
         else:
             probed.append(site)
     static_df = spark.createDataFrame(static_rows, DISCOVERY_SCHEMA)
-    empty_failed = spark.createDataFrame([], "site_id int, url string")
+    empty_failed = spark.createDataFrame(
+        [], "site_id int, url string, error string, kind string")
     if not probed:
         return static_df, empty_failed
 
-    # 2./3. probe {site.url}/sitemap_index.xml[.gz] (must BE an index,
-    # sitemap.py:36-48) then {site.url}/sitemap.xml[.gz] (must NOT be
-    # one, sitemap.py:50-52, 158-175); first valid probe wins.
+    # 2./3. probe {site.url}/sitemap_index.xml[.gz] (must actually BE an
+    # index, sitemap.py:36-48) then {site.url}/sitemap.xml[.gz] (must
+    # actually BE a urlset, sitemap.py:164-175 — a 200 body that is
+    # well-formed XML but not a urlset falls through to the next probe
+    # name); first valid probe wins. A body that fails to PARSE stops
+    # the site right there (the reference raises from the constructor
+    # before the is_* check), so 'invalid' rows compete in the min_by
+    # and poison the site when chosen.
     names = SITEMAP_INDEX_NAMES + SITEMAP_NAMES
     probe_rows = [
         (s.site_id, s.url, urljoin(s.url, name), ord_,
@@ -170,34 +208,54 @@ def _discover(spark: SparkSession, sites: list, sitemaps: DataFrame):
     probes = spark.createDataFrame(
         probe_rows, "site_id int, site_url string, sitemap_url string, "
                     "probe_ord int, wants_index boolean")
-    hits = (sitemaps.select("sitemap_url", "is_index", "gz", "xml")
+    hits = (sitemaps.select("sitemap_url", "gz", "xml")
             .join(F.broadcast(probes), "sitemap_url", "inner")
-            .filter(F.col("wants_index") == F.col("is_index"))
-            # only index bodies are parsed during discovery — don't
+            .withColumn("state", probe_state_udf(F.col("xml"),
+                                                 F.col("gz")))
+            .filter((F.col("wants_index") & (F.col("state") == "index"))
+                    | (~F.col("wants_index")
+                       & (F.col("state") == "urlset"))
+                    | (F.col("state") == "invalid"))
+            # only index bodies are parsed after discovery — don't
             # drag plain-sitemap bodies through the min_by shuffle
-            .withColumn("xml", F.when(F.col("wants_index"),
+            .withColumn("xml", F.when(F.col("wants_index")
+                                      & (F.col("state") == "index"),
                                       F.col("xml"))))
     chosen = (hits.groupBy("site_id")
               .agg(F.min_by(
                   F.struct("probe_ord", "sitemap_url", "wants_index",
-                           "gz", "xml"), F.col("probe_ord")).alias("c"))
+                           "state", "gz", "xml"),
+                  F.col("probe_ord")).alias("c"))
               .select("site_id", "c.sitemap_url", "c.wants_index",
-                      "c.gz", "c.xml"))
+                      "c.state", "c.gz", "c.xml"))
+    ok = chosen.filter(F.col("state") != "invalid")
     idx_children = (
-        chosen.filter(F.col("wants_index"))
+        ok.filter(F.col("wants_index"))
         .select("site_id",
                 parse_sitemapindex_udf(F.col("xml"), F.col("gz"))
                 .alias("locs"))
         .select("site_id",
                 F.posexplode("locs").alias("sitemap_ord", "sitemap_url"))
         .select("site_id", "sitemap_url", "sitemap_ord"))
-    singles = chosen.filter(~F.col("wants_index")).select(
+    singles = ok.filter(~F.col("wants_index")).select(
         "site_id", "sitemap_url", F.lit(0).alias("sitemap_ord"))
 
     probed_df = spark.createDataFrame(
         [(s.site_id, s.url) for s in probed], "site_id int, url string")
-    failed = probed_df.join(chosen.select("site_id"), "site_id",
-                            "left_anti")
+    not_found = (probed_df.join(chosen.select("site_id"), "site_id",
+                                "left_anti")
+                 .select("site_id", "url",
+                         F.concat(F.lit("No sitemap found for "),
+                                  F.col("url"), F.lit("!"))
+                         .alias("error"),
+                 F.lit("none").alias("kind")))
+    bad_xml = (chosen.filter(F.col("state") == "invalid")
+               .join(F.broadcast(probed_df), "site_id")
+               .select("site_id", "url",
+                       F.concat(F.lit("Invalid sitemap XML at "),
+                                F.col("sitemap_url")).alias("error"),
+                       F.lit("parse").alias("kind")))
+    failed = not_found.unionByName(bad_xml)
     discovered = static_df.unionByName(idx_children).unionByName(singles)
     return discovered, failed
 
@@ -231,11 +289,13 @@ def discover_sitemaps(spark: SparkSession, sites: list,
         if errors is None:
             # lowest site_id first — collect order of a distributed
             # relation is not deterministic, the raised message must be
-            raise NoSitemapFound(
-                f"No sitemap found for {failed[0]['url']}!")
+            first = failed[0]
+            if first["kind"] == "parse":
+                raise ValueError(first["error"])
+            raise NoSitemapFound(first["error"])
         for r in failed:
             errors.append({"site_id": r["site_id"], "url": r["url"],
-                           "error": f"No sitemap found for {r['url']}!"})
+                           "error": r["error"]})
     return discovered
 
 
@@ -383,9 +443,7 @@ def build_frontier(spark: SparkSession, sites: list,
     # per-site try/except, then per-sitemap)
     err_df = (
         failed_df.select(
-            "site_id", "url",
-            F.concat(F.lit("No sitemap found for "), F.col("url"),
-                     F.lit("!")).alias("error"),
+            "site_id", "url", "error",
             F.lit(0).alias("rank"))
         .unionByName(_bad_parse_errors(parsed)
                      .withColumnRenamed("sitemap_url", "url")

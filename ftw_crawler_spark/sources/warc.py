@@ -160,8 +160,16 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for fname, content in zip(pdf["path"], pdf["content"]):
-                for (url, ts, status, ctype, html) in parse_warc_bytes(
-                        bytes(content), fname):
+                # per-FILE error isolation: a corrupt (not merely
+                # truncated) gzip stream raises from zlib mid-member;
+                # one undecodable archive costs its own records, never
+                # the ingest job (same posture as the sitemaps parser's
+                # _entries_or_none)
+                try:
+                    recs = parse_warc_bytes(bytes(content), fname)
+                except Exception:
+                    recs = []
+                for (url, ts, status, ctype, html) in recs:
                     rows.append((url, ts, status, ctype, html, fname))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in WARC_SCHEMA.fields])
@@ -184,10 +192,30 @@ def warc_to_pages(warc_df: DataFrame) -> DataFrame:
     ``html_to_text(html)`` — the page store's contract (the extraction
     engine reads the ``text`` column as the Tika ``/tika`` analog
     output, synth.py:7-9, so it must be materialized here, not left
-    NULL). Arrow-batched, executor-side."""
-    return (warc_df
-            .filter((F.col("status") == 200)
-                    & F.col("url").isNotNull())
-            .select("url", "warc_ts", "html",
-                    _html_to_text_udf(F.col("html"), F.col("content_type"))
-                    .alias("text")))
+    NULL). Arrow-batched, executor-side.
+
+    Repeated URLs (retries, revisits, cross-segment overlap — routine
+    in real Common Crawl) are collapsed to ONE row per url, latest
+    capture wins (ties broken by md5(html) — fully deterministic).
+    The page store must be unique on url: duplicate rows would
+    multiply the fetch-simulate inner join and emit same-UID docs with
+    the same op_seq, breaking the sink's LWW determinism. The dedup is
+    one shuffle on url with map-side combine, BEFORE the text UDF so
+    the dropped captures never pay the DOM parse."""
+    ok = warc_df.filter((F.col("status") == 200)
+                        & F.col("url").isNotNull())
+    ordkey = F.struct(
+        F.coalesce(F.col("warc_ts"),
+                   F.lit("1970-01-01 00:00:00").cast("timestamp"))
+        .alias("ts"),
+        F.md5(F.col("html")).alias("tb"))
+    best = (ok.groupBy("url")
+            .agg(F.max_by(F.struct("warc_ts", "html", "content_type"),
+                          ordkey).alias("p"))
+            .select("url", F.col("p.warc_ts").alias("warc_ts"),
+                    F.col("p.html").alias("html"),
+                    F.col("p.content_type").alias("content_type")))
+    return best.select(
+        "url", "warc_ts", "html",
+        _html_to_text_udf(F.col("html"), F.col("content_type"))
+        .alias("text"))

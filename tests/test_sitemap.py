@@ -167,6 +167,48 @@ def test_distributed_discovery_matches_reference(spark):
         discover_sitemaps(spark, sites, smdf)
 
 
+def test_probe_requires_genuine_urlset(spark):
+    """A 200 body at /sitemap.xml that is well-formed XML but NOT a
+    urlset (ubiquitous on the open web: XML error pages, RSS feeds)
+    must fall through to /sitemap.xml.gz — the reference checks
+    Sitemap.is_sitemap() before accepting a probe (sitemap.py:164-175).
+    A body that fails to PARSE aborts the site instead (the reference
+    raises from the Sitemap constructor, sitemap.py:206-209)."""
+    import gzip as _gz
+
+    from ftw_crawler_spark.operators.sitemaps import discover_sitemaps
+
+    sites = [
+        Site(0, "http://f.org/"),     # not-a-urlset → falls to .gz
+        Site(1, "http://g.org/"),     # invalid XML chosen → site error
+        Site(2, "http://h.org/"),     # invalid index probe → site error
+    ]
+    rss = b"<?xml version='1.0'?><rss><channel/></rss>"
+    rows = [
+        ("http://f.org/sitemap.xml", False, False, rss),
+        ("http://f.org/sitemap.xml.gz", False, True,
+         _gz.compress(SITEMAP_XML)),
+        ("http://g.org/sitemap.xml", False, False, b"<urlset><url><lo"),
+        ("http://g.org/sitemap.xml.gz", False, True,
+         _gz.compress(SITEMAP_XML)),      # valid, but never reached
+        ("http://h.org/sitemap_index.xml", True, False, b"\x00garbage"),
+        ("http://h.org/sitemap.xml", False, False, SITEMAP_XML),
+    ]
+    smdf = spark.createDataFrame(
+        rows, "sitemap_url string, is_index boolean, gz boolean, "
+              "xml binary")
+    errors = []
+    got = sorted((r["site_id"], r["sitemap_url"])
+                 for r in discover_sitemaps(spark, sites, smdf,
+                                            errors=errors).collect())
+    assert got == [(0, "http://f.org/sitemap.xml.gz")]
+    assert sorted((e["site_id"], e["error"]) for e in errors) == [
+        (1, "Invalid sitemap XML at http://g.org/sitemap.xml"),
+        (2, "Invalid sitemap XML at http://h.org/sitemap_index.xml")]
+    with pytest.raises(ValueError):
+        discover_sitemaps(spark, [sites[1]], smdf)
+
+
 def test_malformed_sitemap_isolated(spark):
     """A truncated/corrupt sitemap body costs its own entries only:
     the parse UDF yields NULL (not a job-killing exception), the good

@@ -86,6 +86,46 @@ def test_read_warc_and_pages_adapter(spark, tmp_path):
     assert got[0]["text"] == html_to_text(HTML_A, "text/html")
 
 
+def test_warc_repeated_url_latest_capture_wins(spark, tmp_path):
+    """Real CC archives revisit URLs (retries, cross-segment overlap);
+    the page store must stay unique on url or the fetch join multiplies
+    and same-op_seq docs break sink LWW determinism. Latest warc_ts
+    wins; ties break on md5(html)."""
+    recs = b"".join([
+        _record(b"response", b"http://a/x", _http(HTML_A),
+                date=b"2026-01-01T00:00:00Z"),
+        _record(b"response", b"http://a/x", _http(HTML_B),
+                date=b"2026-01-03T00:00:00Z"),
+        _record(b"response", b"http://a/x", _http(HTML_A),
+                date=b"2026-01-02T00:00:00Z"),
+        _record(b"response", b"http://a/y", _http(HTML_A)),
+    ])
+    p = tmp_path / "dup.warc"
+    p.write_bytes(recs)
+    pages = warc_to_pages(read_warc(spark, str(tmp_path)))
+    got = {r["url"]: r for r in pages.collect()}
+    assert len(got) == 2
+    assert bytes(got["http://a/x"]["html"]) == HTML_B
+    assert got["http://a/x"]["warc_ts"].isoformat() == \
+        "2026-01-03T00:00:00"
+
+
+def test_warc_corrupt_gzip_isolated(spark, tmp_path):
+    """One undecodable .warc.gz (corrupt mid-stream, not merely
+    truncated) yields zero rows for THAT file; the rest of the ingest
+    succeeds — same per-unit isolation posture as the sitemap parser."""
+    good = tmp_path / "good.warc.gz"
+    good.write_bytes(gzip.compress(_sample_warc()))
+    bad = gzip.compress(_sample_warc())
+    corrupt = bad[:20] + bytes(b ^ 0xFF for b in bad[20:40]) + bad[40:]
+    (tmp_path / "bad.warc.gz").write_bytes(corrupt)
+    df = read_warc(spark, str(tmp_path))
+    rows = df.collect()
+    assert {r["url"] for r in rows} == {"http://a.example.org/x",
+                                       "http://b.example.org/y"}
+    assert all(r["warc_file"].endswith("good.warc.gz") for r in rows)
+
+
 def test_warc_world_roundtrip_crawl(spark, tiny_world, tmp_path):
     """A world whose page store is re-ingested from WARC archives
     yields the BYTE-IDENTICAL final index — the end-to-end proof the
