@@ -195,13 +195,18 @@ SELECT doc_id FROM documents WHERE doc_id % 7 <> 0
 """)
 def _seen_bloom(spark, sf_dir):
     """F5/F9 + north-rule seen-set: bloom prune → exact anti-join
-    backstop (false positives verified exactly, never dropped)."""
+    backstop (false positives verified exactly, never dropped).
+    Deliberately exercises the SHARDED serving mode — the cogrouped
+    (shard, bits) probe that keeps task memory O(shard) at the
+    10^10-URL design point — so the scale path itself is
+    oracle-certified, not just the broadcast fast path."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", _doc_url().alias("loc"))
     seen_urls = docs.filter(F.col("doc_id") % 7 == 0) \
         .select(F.col("loc").alias("url"))
-    bloom = seen.build_url_bloom(seen_urls, "url")
-    fresh, candidates = seen.split_by_bloom(docs, bloom, "loc")
+    bloom = seen.build_url_bloom(seen_urls, "url", n_shards=8)
+    fresh, candidates = seen.split_by_bloom(docs, bloom, "loc",
+                                            mode="sharded")
     verified = candidates.join(
         seen_urls, candidates.loc == seen_urls.url, "left_anti")
     return fresh.select("doc_id").unionByName(verified.select("doc_id"))

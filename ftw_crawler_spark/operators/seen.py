@@ -22,13 +22,24 @@ The filter is SHARDED by ``pmod(xxhash64(url, seed), n_shards)``:
   O(num_partitions × total).
 - **probe**: each url routes to its shard (same hash) and tests k
   double-hashed positions (Kirsch-Mitzenmacher: h1 + i·h2) inside that
-  shard only. On a real cluster the shards can therefore be
-  distributed (per-shard broadcast or a (shard, bits) state table
-  joined shard-to-shard) instead of shipping one giant blob; in-process
-  the concatenated array serves all shards.
+  shard only. TWO serving modes (``split_by_bloom(mode=...)``):
 
-The probe is an Arrow-vectorized pandas UDF over the broadcast bytes —
-numpy gather, no per-row Python.
+  * ``broadcast`` — the concatenated array closes over an Arrow
+    pandas UDF (numpy gather, no shuffle). Right while the filter is
+    small enough to ship whole (≤ ``BROADCAST_MAX_BYTES``).
+  * ``sharded`` — the filter stays a (shard, bits) RELATION; probe
+    rows are routed to their shard by the same hash and membership is
+    evaluated in a cogrouped Arrow UDF that sees ONE shard's bits per
+    group. Task memory is O(shard + group rows), never O(filter) —
+    at the 10^10-URL / fpp 0.03 design point the monolithic array is
+    ~9 GB, a shard 8 MiB. Cost: one shuffle of the probe side on the
+    shard key (O(batch)) plus a shuffle of the filter bytes
+    (O(filter) — amortized: on a real cluster the shard table is the
+    persisted checkpoint state table, already partitioned by shard).
+  * ``auto`` (default) — broadcast below ``BROADCAST_MAX_BYTES``,
+    sharded above. Both modes are bit-identical (same shard routing,
+    same k positions); the exact anti-join backstop downstream makes
+    either safe.
 
 (Spark's internal BloomFilter aggregate is not SQL-exposed in this
 build, and rolling our own keeps the filter format stable for the
@@ -51,6 +62,7 @@ _HEADER = struct.Struct("<QII")       # n_bits (per shard), k, n_shards
 _SHARD_SEED = 0x5A4D
 _H2_SEED = 0x5EED
 _SHARD_MAX_BITS = 1 << 26             # 8 MiB bit array per shard
+BROADCAST_MAX_BYTES = 64 << 20        # auto mode: shard-serve above this
 
 
 def _params(expected_items: int, fpp: float) -> tuple:
@@ -160,7 +172,9 @@ def merge_blooms(a: bytes | None, b: bytes | None) -> bytes | None:
 
 def might_contain_col(bloom_bytes: bytes, url_col: str = "loc"):
     """Vectorized shard-routed membership probe over the broadcast
-    filter bytes."""
+    filter bytes (the small-filter serving mode — the whole array
+    ships to each worker; use the sharded mode above
+    BROADCAST_MAX_BYTES)."""
     n_bits, k, n_shards = bloom_shape(bloom_bytes)
     bits = np.frombuffer(bloom_bytes[4 + _HEADER.size:], dtype=np.uint8)
 
@@ -177,15 +191,83 @@ def might_contain_col(bloom_bytes: bytes, url_col: str = "loc"):
     return probe(*_hash_cols(url_col, n_shards))
 
 
+def shard_rows(bloom_bytes: bytes) -> list:
+    """Serialized filter → [(shard_id, shard_bits)] for the NON-EMPTY
+    shards — the relation form of the filter. On a real cluster this
+    is the persisted (shard, bits) checkpoint state table, partitioned
+    by shard_id; in-process it is derived from the merged bytes."""
+    n_bits, _, n_shards = bloom_shape(bloom_bytes)
+    shard_bytes = n_bits // 8
+    raw = bloom_bytes[4 + _HEADER.size:]
+    out = []
+    for s in range(n_shards):
+        chunk = raw[s * shard_bytes:(s + 1) * shard_bytes]
+        if any(chunk):
+            out.append((s, chunk))
+    return out
+
+
+def _split_sharded(frontier: DataFrame, bloom_bytes: bytes,
+                   url_col: str):
+    """Shard-served probe: route each row to its shard, cogroup with
+    the (shard, bits) relation, evaluate membership against ONLY that
+    shard's bytes. No task ever materializes the whole filter — the
+    scale path for filters too big to broadcast."""
+    from pyspark.sql import types as T
+
+    n_bits, k, n_shards = bloom_shape(bloom_bytes)
+    spark = frontier.sparkSession
+    shards = spark.createDataFrame(shard_rows(bloom_bytes),
+                                   "__bs int, bits binary")
+    out_cols = frontier.columns
+    out_schema = T.StructType(
+        list(frontier.schema.fields)
+        + [T.StructField("__maybe_seen", T.BooleanType())])
+
+    def probe_group(left: pd.DataFrame, right: pd.DataFrame):
+        if len(left) == 0:
+            return pd.DataFrame(
+                columns=out_cols + ["__maybe_seen"])
+        out = left[out_cols].copy()
+        if len(right) == 0:
+            out["__maybe_seen"] = False
+            return out
+        bits = np.frombuffer(right["bits"].iloc[0], dtype=np.uint8)
+        idx = _positions(left["__bh1"].to_numpy(dtype=np.int64),
+                         left["__bh2"].to_numpy(dtype=np.int64),
+                         k, n_bits)
+        hit = (bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        out["__maybe_seen"] = hit.all(axis=1)
+        return out
+
+    s, h1, h2 = _hash_cols(url_col, n_shards)
+    hashed = frontier.select(
+        "*", s.alias("__bs"), h1.alias("__bh1"), h2.alias("__bh2"))
+    return (hashed.groupBy("__bs")
+            .cogroup(shards.groupBy("__bs"))
+            .applyInPandas(probe_group, out_schema))
+
+
 def split_by_bloom(frontier: DataFrame, bloom_bytes: bytes | None,
-                   url_col: str = "loc"):
+                   url_col: str = "loc", mode: str = "auto"):
     """(definitely_new, candidates) — definitely_new rows skip the exact
     index join; candidates go through it. With no filter everything is
-    a candidate."""
+    a candidate.
+
+    ``mode``: 'broadcast' ships the whole filter to each worker (fast,
+    no extra shuffle — small filters); 'sharded' serves the filter as
+    a (shard, bits) relation with a cogrouped probe (task memory
+    O(shard) — the 10^10-URL path); 'auto' picks by filter size."""
     if bloom_bytes is None:
         return frontier.limit(0), frontier
-    probe = might_contain_col(bloom_bytes, url_col)
-    marked = frontier.withColumn("__maybe_seen", probe)
+    if mode == "auto":
+        mode = ("sharded" if len(bloom_bytes) > BROADCAST_MAX_BYTES
+                else "broadcast")
+    if mode == "sharded":
+        marked = _split_sharded(frontier, bloom_bytes, url_col)
+    else:
+        marked = frontier.withColumn(
+            "__maybe_seen", might_contain_col(bloom_bytes, url_col))
     new = marked.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     cand = marked.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     return new, cand

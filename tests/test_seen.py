@@ -68,6 +68,49 @@ def test_empty_relation_builds_none(spark, urls):
     assert new.count() == 0 and cand.count() == 2000
 
 
+def test_sharded_probe_matches_broadcast(spark, urls):
+    """The shard-served probe (cogrouped (shard, bits) relation) must
+    be bit-identical to the broadcast probe — same shard routing, same
+    k positions — on both inserted urls and fresh urls (so false
+    positives/negatives agree exactly, not just statistically)."""
+    blm = seen.build_url_bloom(urls, "url", expected_items=2000,
+                               n_shards=8)
+    probed = urls.withColumnRenamed("url", "loc").unionByName(
+        spark.range(2000, 6000).select(
+            F.concat(F.lit("https://other.example/"),
+                     F.col("id").cast("string")).alias("loc")))
+    new_b, cand_b = seen.split_by_bloom(probed, blm, "loc",
+                                        mode="broadcast")
+    new_s, cand_s = seen.split_by_bloom(probed, blm, "loc",
+                                        mode="sharded")
+    assert sorted(r["loc"] for r in new_s.collect()) == \
+        sorted(r["loc"] for r in new_b.collect())
+    assert sorted(r["loc"] for r in cand_s.collect()) == \
+        sorted(r["loc"] for r in cand_b.collect())
+    # no false negatives through the sharded path either
+    assert cand_s.join(urls, cand_s.loc == urls.url, "left_semi") \
+        .count() == 2000
+
+
+def test_sharded_probe_task_memory_is_o_shard(spark, urls):
+    """Scale invariant of the serving mode: the probe relation holds
+    the filter as per-shard rows of EXACTLY total/K bytes, and the
+    cogrouped probe evaluates each group against one such row — no
+    task ever materializes the concatenated array (at the 10^10-URL
+    design point: 8 MiB shard vs ~9 GB whole filter)."""
+    blm = seen.build_url_bloom(urls, "url", expected_items=2000,
+                               n_shards=8)
+    n_bits, _, n_shards = seen.bloom_shape(blm)
+    total_bytes = len(blm) - 4 - seen._HEADER.size
+    rows = seen.shard_rows(blm)
+    assert 0 < len(rows) <= n_shards
+    assert all(len(bits) == total_bytes // n_shards
+               for _, bits in rows)
+    assert all(len(bits) == n_bits // 8 for _, bits in rows)
+    # auto mode routes big filters to the sharded server
+    assert seen.BROADCAST_MAX_BYTES < 9 * (1 << 30)
+
+
 def test_auto_shard_count_scales_with_size(spark, urls):
     # small filter → 1 shard; the 10^10-design point → n_bits/2^26
     blm = seen.build_url_bloom(urls, "url", expected_items=2000)
