@@ -377,56 +377,43 @@ def _q3(spark, sf_dir):
 # --- E family: extraction scalars ------------------------------------------
 
 
-@_q("uid_md5_uuid", """
+@_q("scalar_fields_wide", """
 SELECT doc_id,
   substr(h,1,8)||'-'||substr(h,9,4)||'-'||substr(h,13,4)||'-'||
-  substr(h,17,4)||'-'||substr(h,21,12) AS uid
-FROM (SELECT doc_id,
+    substr(h,17,4)||'-'||substr(h,21,12) AS uid,
+  coalesce(CASE WHEN doc_id % 3 = 0 THEN 'https://t/'||doc_id END,
+           loc) AS target_url,
+  array_to_string(list_filter(string_split_regex(
+    'x  '||text||chr(10)||' end', '\\s+'), x -> x <> ''), ' ') AS norm_text
+FROM (SELECT doc_id, text,
+      'https://corpus.example.org/'||source||'/doc-'||doc_id AS loc,
       md5('https://corpus.example.org/'||source||'/doc-'||doc_id) AS h
       FROM documents)
 """)
-def _uid(spark, sf_dir):
-    """E3: md5-as-UUID (extractors.py:152-158; golden
-    test_extractors.py:513-521) as a pure Column expression."""
-    from ftw_crawler_spark.operators.extraction import md5_uuid_col
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", md5_uuid_col(_doc_url()).alias("uid"))
-
-
-@_q("normalize_whitespace", """
-SELECT doc_id,
-  array_to_string(list_filter(string_split_regex(
-    'x  '||text||chr(10)||' end', '\\s+'), x -> x <> ''), ' ') AS norm_text
-FROM documents
-""")
-def _norm_ws(spark, sf_dir):
-    """E2 ⚠: u' '.join(s.split()) — collapse ALL whitespace runs
-    (utils.py:98-105) via the engine's real vectorized path."""
+def _scalar_fields(spark, sf_dir):
+    """E3 + E6 + E2 ⚠ in ONE per-doc projection (one scan, no
+    shuffle): md5-as-UUID (extractors.py:152-158; golden
+    test_extractors.py:513-521), target ?? loc (extractors.py:187-193),
+    and u' '.join(s.split()) — collapse ALL whitespace runs
+    (utils.py:98-105) via the engine's real vectorized path. Each
+    column's closed form is stated directly by the oracle."""
     from ftw_crawler_spark.functions.scalars import normalize_whitespace
+    from ftw_crawler_spark.operators.extraction import md5_uuid_col
 
     @F.pandas_udf("string")
     def norm(s: pd.Series) -> pd.Series:
         return s.map(normalize_whitespace)
 
     docs = _t(spark, sf_dir, "documents")
-    noisy = F.concat(F.lit("x  "), F.col("text"), F.lit("\n end"))
-    return docs.select("doc_id", norm(noisy).alias("norm_text"))
-
-
-@_q("target_coalesce", """
-SELECT doc_id,
-  coalesce(CASE WHEN doc_id % 3 = 0 THEN 'https://t/'||doc_id END,
-           'https://corpus.example.org/'||source||'/doc-'||doc_id) AS target_url
-FROM documents
-""")
-def _target(spark, sf_dir):
-    """E6: target ?? loc (extractors.py:187-193)."""
-    docs = _t(spark, sf_dir, "documents")
     target = F.when(F.col("doc_id") % 3 == 0,
                     F.concat(F.lit("https://t/"),
                              F.col("doc_id").cast("string")))
+    noisy = F.concat(F.lit("x  "), F.col("text"), F.lit("\n end"))
     return docs.select(
-        "doc_id", F.coalesce(target, _doc_url()).alias("target_url"))
+        "doc_id",
+        md5_uuid_col(_doc_url()).alias("uid"),
+        F.coalesce(target, _doc_url()).alias("target_url"),
+        norm(noisy).alias("norm_text"))
 
 
 @_q("keywords_split", """
@@ -915,32 +902,32 @@ def _url_canonicalize(spark, sf_dir):
         "doc_id", canonical_url_col(messy).alias("canonical"))
 
 
-@_q("sample_bernoulli", f"""
-SELECT doc_id, source FROM documents
+@_q("sample_deterministic", f"""
+SELECT 'bernoulli' AS method, doc_id, source FROM documents
 WHERE {_MD5L.format("'s:' || doc_id")} % 1000000 < 250000
-""")
-def _sample_bernoulli(spark, sf_dir):
-    """Deterministic ~25% corpus sample keyed on a content hash of the
-    doc id — reproducible across reruns/partitionings (no rand())."""
-    from ftw_crawler_spark.operators import sampling
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    return sampling.hash_sample(docs, "doc_id", rate_ppm=250_000)
-
-
-@_q("sample_stratified", """
-SELECT doc_id, source FROM (
+UNION ALL
+SELECT 'stratified' AS method, doc_id, source FROM (
   SELECT doc_id, source,
          row_number() OVER (PARTITION BY source
                             ORDER BY md5('t:' || doc_id), doc_id) AS rn
   FROM documents) WHERE rn <= 7
 """)
-def _sample_stratified(spark, sf_dir):
-    """Exactly-n-per-source quota sample in deterministic hash order —
-    the per-source cap every mixture-curation pipeline needs."""
+def _sample_deterministic(spark, sf_dir):
+    """Both deterministic sampling operators, tagged by method:
+
+    - bernoulli: ~25% corpus sample keyed on a content hash of the
+      doc id — reproducible across reruns/partitionings (no rand());
+    - stratified: exactly-n-per-source quota sample in deterministic
+      hash order — the per-source cap every mixture-curation pipeline
+      needs."""
     from ftw_crawler_spark.operators import sampling
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    return sampling.stratified_sample(docs, "source", "doc_id",
-                                      n_per_stratum=7)
+    bern = sampling.hash_sample(docs, "doc_id", rate_ppm=250_000) \
+        .select(F.lit("bernoulli").alias("method"), "doc_id", "source")
+    strat = sampling.stratified_sample(docs, "source", "doc_id",
+                                       n_per_stratum=7) \
+        .select(F.lit("stratified").alias("method"), "doc_id", "source")
+    return bern.unionByName(strat)
 
 
 @_q("metadata_dc_precedence", """
@@ -1007,31 +994,40 @@ FROM hits
 """
 
 
-@_q("text_lang_id", _lang_sql())
-def _lang_id(spark, sf_dir):
-    """Language-ID by stopword voting — pure codegen, no shuffle."""
-    return ts.lang_id(_t(spark, sf_dir, "documents"))
-
-
-@_q("text_quality", f"""
-WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+def _lang_quality_sql() -> str:
+    hits = {lang: _LANG_HIT.format(words=", ".join(
+        f"'{w}'" for w in ts.STOPWORDS[lang]))
+        for lang in ts.LANG_ORDER}
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+hits AS (SELECT doc_id, t, {hits['en']} AS en, {hits['de']} AS de,
+                {hits['fr']} AS fr, {hits['es']} AS es FROM toks)
 SELECT doc_id,
+  CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+       WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+       WHEN fr >= es AND fr > 0 THEN 'fr'
+       WHEN es > 0 THEN 'es'
+       ELSE 'und' END AS pred_lang,
   len(t) AS n_tokens,
   len(list_filter(t, x -> regexp_full_match(x, '[A-Za-zÀ-ÿ]+')))
     AS n_alpha_tokens,
   list_sum(list_transform(t, x -> length(x)))::BIGINT AS sum_token_chars,
-  len(list_filter(t, x -> x IN ('the','of','and','to','a','in','is','it')))
-    AS stop_hits,
+  en AS stop_hits,
   (len(t) >= 10 AND len(t) <= 10000
    AND list_sum(list_transform(t, x -> length(x))) >= 3 * len(t)
    AND list_sum(list_transform(t, x -> length(x))) <= 12 * len(t))
     AS quality_ok
-FROM toks
-""")
-def _quality(spark, sf_dir):
-    """Quality gate from integer token stats (length/alpha/stopword
-    ratios via cross-multiplication — float-free, oracle-exact)."""
-    return ts.quality_stats(_t(spark, sf_dir, "documents"))
+FROM hits
+"""
+
+
+@_q("text_lang_quality", _lang_quality_sql())
+def _lang_quality(spark, sf_dir):
+    """Language-ID by stopword voting + quality gate from integer
+    token stats (length/alpha/stopword ratios via cross-multiplication
+    — float-free, oracle-exact) in ONE projection: one scan, pure
+    codegen, no shuffle at any corpus size."""
+    return ts.lang_quality(_t(spark, sf_dir, "documents"))
 
 
 @_q("curation_pipeline", f"""
@@ -1162,11 +1158,12 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
-def _kmeans_sql(n_centroids: int = 4, n_iter: int = 2,
-                dim: int = 64) -> str:
+def _kmeans_cte(n_centroids: int = 4, n_iter: int = 2,
+                dim: int = 64) -> tuple:
     """Lloyd's k-means unrolled to ``n_iter`` CTE generations — fully
     deterministic cross-engine (fold-order dot products; decimal-exact
-    component sums)."""
+    component sums). Returns (cte_sql, final_centroid_cte_name) so the
+    kmeans query AND the refined-IVF query share the generations."""
     d2 = ("v.n2 - 2 * list_dot_product(v.v, c.c) + c.c2")
     parts = [f"""
 WITH vecs AS (
@@ -1193,13 +1190,19 @@ cent{it} AS (
   SELECT cid, c, list_dot_product(c, c) AS c2 FROM (
     SELECT cid, list(m ORDER BY j) AS c FROM mean{it} GROUP BY cid))""")
         prev = f"cent{it}"
-    parts.append(f"""
+    return "".join(parts), prev
+
+
+def _kmeans_sql(n_centroids: int = 4, n_iter: int = 2,
+                dim: int = 64) -> str:
+    d2 = ("v.n2 - 2 * list_dot_product(v.v, c.c) + c.c2")
+    cte, prev = _kmeans_cte(n_centroids, n_iter, dim)
+    return cte + f"""
 SELECT vid AS vec_id, cid, round(sqrt(d2), 6) AS dist_r6 FROM (
   SELECT v.vid, c.cid, ({d2}) AS d2,
     row_number() OVER (PARTITION BY v.vid
                        ORDER BY ({d2}) ASC, c.cid ASC) AS r
-  FROM vecs v, {prev} c) WHERE r = 1""")
-    return "".join(parts)
+  FROM vecs v, {prev} c) WHERE r = 1"""
 
 
 @_q("kmeans_refine_assign", _kmeans_sql())
@@ -1212,43 +1215,51 @@ def _kmeans(spark, sf_dir):
     return simi.kmeans_refine(emb, n_centroids=4, n_iter=2)
 
 
-_IVF_SQL = """
-WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
-  FROM embeddings),
-cents AS (SELECT vec_id AS centroid_id, v AS cv, n AS cn
-          FROM vecs WHERE vec_id < 8),
+def _ivf_refined_sql(n_centroids: int = 8, n_iter: int = 2,
+                     n_probe: int = 2, k: int = 5,
+                     n_queries: int = 10) -> str:
+    """IVF over KMEANS-REFINED centroids: the Lloyd CTE generations
+    feed the centroid table, then inverted lists + n_probe + exact
+    re-rank — the full production composition, oracle-checked end to
+    end."""
+    cte, prev = _kmeans_cte(n_centroids, n_iter)
+    return cte + f""",
+vn AS (SELECT vid AS vec_id, v, sqrt(n2) AS n FROM vecs),
+cents AS (SELECT cid AS centroid_id, c AS cv,
+                 sqrt(list_dot_product(c, c)) AS cn FROM {prev}),
 asgn AS (SELECT v.vec_id, c.centroid_id,
     row_number() OVER (PARTITION BY v.vec_id
       ORDER BY list_dot_product(v.v, c.cv) / (v.n * c.cn) DESC,
                c.centroid_id) AS cr
-  FROM vecs v, cents c),
+  FROM vn v, cents c),
 lists AS (SELECT vec_id, centroid_id FROM asgn WHERE cr = 1),
 probes AS (SELECT vec_id AS query_id, centroid_id
-           FROM asgn WHERE cr <= 2 AND vec_id < 10),
+           FROM asgn WHERE cr <= {n_probe} AND vec_id < {n_queries}),
 cand AS (SELECT p.query_id, l.vec_id AS neighbor_id
          FROM probes p JOIN lists l USING (centroid_id)
          WHERE l.vec_id <> p.query_id),
 sims AS (SELECT query_id, neighbor_id,
     list_dot_product(q.v, nb.v) / (q.n * nb.n) AS sim
-  FROM cand JOIN vecs q ON q.vec_id = cand.query_id
-            JOIN vecs nb ON nb.vec_id = cand.neighbor_id)
+  FROM cand JOIN vn q ON q.vec_id = cand.query_id
+            JOIN vn nb ON nb.vec_id = cand.neighbor_id)
 SELECT query_id, neighbor_id, rank FROM (
   SELECT query_id, neighbor_id,
     row_number() OVER (PARTITION BY query_id
                        ORDER BY sim DESC, neighbor_id) AS rank
-  FROM sims) WHERE rank <= 5
+  FROM sims) WHERE rank <= {k}
 """
 
 
-@_q("similarity_ivf_ann", _IVF_SQL)
+@_q("similarity_ivf_ann", _ivf_refined_sql())
 def _ivf_ann(spark, sf_dir):
-    """IVF-bucketed ANN: nearest-centroid inverted lists, 2-probe,
-    exact re-rank. Deterministic seed centroids (first 8 vectors) make
+    """IVF-bucketed ANN with kmeans-REFINED centroids (the production
+    wiring: kmeans_centroids feeds ivf_ann): nearest-centroid inverted
+    lists, 2-probe, exact re-rank. The deterministic Lloyd loop keeps
     assignment + probing + ranking fully oracle-checkable."""
     emb = _t(spark, sf_dir, "embeddings")
+    cents = simi.kmeans_centroids(emb, n_centroids=8, n_iter=2)
     return simi.ivf_ann(emb, query_ids=range(10), k=5,
-                        n_centroids=8, n_probe=2)
+                        n_probe=2, centroids=cents)
 
 
 @_q("similarity_lsh_ann", _lsh_sql())
@@ -1300,38 +1311,64 @@ def _emb_neardup(spark, sf_dir):
 # --- E-family scalar extractors via the REAL engine ------------------------
 
 
-@_q("slug_extract", """
-SELECT doc_id, lower(source) || '-' || doc_id || '-bar' AS slug
+@_q("slug_xpath_extract", """
+SELECT doc_id, lower(source) || '-' || doc_id || '-bar' AS slug,
+  CASE WHEN doc_id % 5 = 0 THEN NULL
+       ELSE 'Deep ' || doc_id || ' tail' END AS h1_text
 FROM documents
 """)
-def _slug(spark, sf_dir):
-    """E4: SlugExtractor — unquote_plus + slugify of the last path
-    segment (extractors.py:161-177; goldens test_extractors.py:544-598).
-    Input urls are constructed so '+'→space, %20→space, %C3%A4→'ä'→'a'
-    all fire, yet the expected slug has a closed form the oracle states
-    directly."""
+def _slug_xpath(spark, sf_dir):
+    """E4 + E8 through one engine run over one resource frame:
+
+    - slug: SlugExtractor — unquote_plus + slugify of the last path
+      segment (extractors.py:161-177; goldens
+      test_extractors.py:544-598). Input urls are constructed so
+      '+'→space, %20→space, %C3%A4→'ä'→'a' all fire, yet the expected
+      slug has a closed form the oracle states directly;
+    - h1_text: XPathExtractor — //div[@id='content']/h1 over the
+      parsed DOM with descendant text_content (extractors.py:231-285;
+      the 'Der Bärengraben' golden shape, test_extractors.py:312-317:
+      the h1 contains a nested <span>, whose text must be included).
+      doc_id%5==0 rows have no matching node → no value → NULL."""
     docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
     seg = F.concat(F.col("source"), F.lit("+"),
-                   F.col("doc_id").cast("string"), F.lit("%20b%C3%A4r"))
+                   sid, F.lit("%20b%C3%A4r"))
+    html = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.lit("<html><body><h1>outside content div</h1></body></html>")
+    ).otherwise(F.concat(
+        F.lit('<html><body><div id="content"><h1><span>Deep</span> '),
+        sid, F.lit(" tail</h1></div><p>body</p></body></html>")))
     resources = docs.select(
         "doc_id",
         F.concat(F.lit("https://x.example/sec/"), seg).alias("loc"),
         F.lit(None).cast("string").alias("lastmod"),
         F.lit(None).cast("string").alias("target"),
-        F.lit(None).cast("binary").alias("html"),
+        F.encode(html, "UTF-8").alias("html"),
         F.lit("").alias("text"),
         F.lit("text/html").alias("content_type"),
         F.create_map(F.lit("content-type"),
                      F.lit("text/html")).alias("headers"),
         F.lit(None).cast("map<string,string>").alias("site_attributes"))
-    fields = [cfg.Field("slug", cfg.SlugExtractor())]
+    fields = [cfg.Field("slug", cfg.SlugExtractor()),
+              cfg.Field("h1_text",
+                        cfg.XPathExtractor("//div[@id='content']/h1"))]
     return extract_documents(resources,
                              cfg.CrawlerConfig(sites=[], fields=fields),
                              CRAWL_TIME, passthrough=("doc_id",))
 
 
-@_q("lastmod_parse", """
+@_q("extractor_fields_wide", """
 SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'HTML page'
+                  WHEN 1 THEN 'PDF document'
+                  ELSE 'other format' END AS doc_format,
+  CASE doc_id % 3 WHEN 0 THEN 'Webseite'
+                  WHEN 1 THEN 'PDF Dokument'
+                  ELSE 'Sonstige' END AS doc_type_label,
+  CASE WHEN doc_id % 2 = 0 THEN 'bericht-' || doc_id || '.pdf'
+       ELSE NULL END AS filename,
   CASE doc_id % 3
     WHEN 0 THEN ('2020-03-0' || (1 + doc_id % 9))::TIMESTAMP
     WHEN 1 THEN TIMESTAMP '2021-07-15 08:30:00' - INTERVAL 2 HOUR
@@ -1339,12 +1376,37 @@ SELECT doc_id,
   END AS modified
 FROM documents
 """)
-def _lastmod(spark, sf_dir):
-    """E12: LastModifiedExtractor's lenient ISO parse — date-only,
-    +02:00 offset, and Z forms, naive→assume-UTC (utils.py:14-37,
-    extractors.py:330-344; test_utils.py:58-65). The oracle states the
-    expected UTC instants in closed form (no engine tz config in play)."""
+def _extractor_fields(spark, sf_dir):
+    """E17 + E18 + E10 + E12 through ONE engine run over ONE resource
+    frame (the engine's real multi-field path — fields resolve in
+    topological order, doc_type_label reads doc_format's value):
+
+    - doc_format: HeaderMappingExtractor — header value,
+      charset-stripped, through a mapping dict with default
+      (extractors.py:416-442);
+    - doc_type_label: FieldMappingExtractor — another field's
+      extracted value mapped through a dict (extractors.py:445-469);
+    - filename: content-disposition split-on-';'/'=' parse with quote
+      strip (extractors.py:347-360); odd doc_ids carry no header →
+      no value → NULL;
+    - modified: LastModifiedExtractor's lenient ISO parse — date-only,
+      +02:00 offset, and Z forms, naive→assume-UTC (utils.py:14-37,
+      extractors.py:330-344; test_utils.py:58-65). The oracle states
+      the expected UTC instants in closed form."""
     docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    ct = (F.when(F.col("doc_id") % 3 == 0,
+                 F.lit("text/html; charset=utf-8"))
+          .when(F.col("doc_id") % 3 == 1, F.lit("application/pdf"))
+          .otherwise(F.lit("application/zip")))
+    cd = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('attachment; filename="bericht-'),
+                 sid, F.lit('.pdf"')))
+    headers = (F.when(cd.isNotNull(),
+                      F.create_map(F.lit("content-type"), ct,
+                                   F.lit("content-disposition"), cd))
+               .otherwise(F.create_map(F.lit("content-type"), ct)))
     lastmod = (
         F.when(F.col("doc_id") % 3 == 0,
                F.concat(F.lit("2020-03-0"),
@@ -1352,118 +1414,9 @@ def _lastmod(spark, sf_dir):
         .when(F.col("doc_id") % 3 == 1,
               F.lit("2021-07-15T08:30:00+02:00"))
         .otherwise(F.lit("2019-12-31T23:59:59Z")))
-    resources = _doc_resources(docs).withColumn("lastmod", lastmod) \
-        .withColumn("headers", F.create_map(
-            F.lit("content-type"), F.lit("text/html; charset=utf-8")))
-    fields = [cfg.Field("modified", cfg.LastModifiedExtractor(),
-                        type_=datetime, required=True)]
-    return extract_documents(resources,
-                             cfg.CrawlerConfig(sites=[], fields=fields),
-                             CRAWL_TIME, passthrough=("doc_id",))
-
-
-@_q("header_mapping", """
-SELECT doc_id,
-  CASE doc_id % 3 WHEN 0 THEN 'HTML page'
-                  WHEN 1 THEN 'PDF document'
-                  ELSE 'other format' END AS doc_format
-FROM documents
-""")
-def _header_mapping(spark, sf_dir):
-    """E17: HeaderMappingExtractor — header value, charset-stripped,
-    through a mapping dict with default (extractors.py:416-442)."""
-    docs = _t(spark, sf_dir, "documents")
-    ct = (F.when(F.col("doc_id") % 3 == 0,
-                 F.lit("text/html; charset=utf-8"))
-          .when(F.col("doc_id") % 3 == 1, F.lit("application/pdf"))
-          .otherwise(F.lit("application/zip")))
-    resources = _doc_resources(docs).withColumn(
-        "headers", F.create_map(F.lit("content-type"), ct))
-    fields = [cfg.Field("doc_format", cfg.HeaderMappingExtractor(
-        "content-type",
-        {"text/html": "HTML page", "application/pdf": "PDF document"},
-        default="other format"))]
-    return extract_documents(resources,
-                             cfg.CrawlerConfig(sites=[], fields=fields),
-                             CRAWL_TIME, passthrough=("doc_id",))
-
-
-@_q("xpath_h1_extract", """
-SELECT doc_id,
-  CASE WHEN doc_id % 5 = 0 THEN NULL
-       ELSE 'Deep ' || doc_id || ' tail' END AS h1_text
-FROM documents
-""")
-def _xpath_h1(spark, sf_dir):
-    """E8: XPathExtractor — //div[@id='content']/h1 over the parsed DOM
-    with descendant text_content (extractors.py:231-285; the
-    'Der Bärengraben' golden shape, test_extractors.py:312-317: the h1
-    contains a nested <span>, whose text must be included). doc_id%5==0
-    rows have no matching node → no value → NULL."""
-    docs = _t(spark, sf_dir, "documents")
-    sid = F.col("doc_id").cast("string")
-    html = F.when(
-        F.col("doc_id") % 5 == 0,
-        F.lit("<html><body><h1>outside content div</h1></body></html>")
-    ).otherwise(F.concat(
-        F.lit('<html><body><div id="content"><h1><span>Deep</span> '),
-        sid, F.lit(" tail</h1></div><p>body</p></body></html>")))
-    resources = _doc_resources(docs).withColumn(
-        "html", F.encode(html, "UTF-8"))
-    fields = [cfg.Field("h1_text",
-                        cfg.XPathExtractor("//div[@id='content']/h1"))]
-    return extract_documents(resources,
-                             cfg.CrawlerConfig(sites=[], fields=fields),
-                             CRAWL_TIME, passthrough=("doc_id",))
-
-
-@_q("filename_content_disposition", """
-SELECT doc_id,
-  CASE WHEN doc_id % 2 = 0 THEN 'bericht-' || doc_id || '.pdf'
-       ELSE NULL END AS filename
-FROM documents
-""")
-def _filename(spark, sf_dir):
-    """E10: FilenameExtractor — content-disposition split-on-';'/'='
-    parse with quote strip (extractors.py:347-360); odd doc_ids carry
-    no content-disposition header → no value → NULL."""
-    docs = _t(spark, sf_dir, "documents")
-    cd = F.when(
-        F.col("doc_id") % 2 == 0,
-        F.concat(F.lit('attachment; filename="bericht-'),
-                 F.col("doc_id").cast("string"), F.lit('.pdf"')))
-    headers = (F.when(cd.isNotNull(),
-                      F.create_map(F.lit("content-type"),
-                                   F.lit("application/pdf"),
-                                   F.lit("content-disposition"), cd))
-               .otherwise(F.create_map(F.lit("content-type"),
-                                       F.lit("application/pdf"))))
-    resources = _doc_resources(docs).withColumn("headers", headers)
-    fields = [cfg.Field("filename", cfg.FilenameExtractor())]
-    return extract_documents(resources,
-                             cfg.CrawlerConfig(sites=[], fields=fields),
-                             CRAWL_TIME, passthrough=("doc_id",))
-
-
-@_q("field_mapping_derived", """
-SELECT doc_id,
-  CASE doc_id % 3 WHEN 0 THEN 'Webseite'
-                  WHEN 1 THEN 'PDF Dokument'
-                  ELSE 'Sonstige' END AS doc_type_label
-FROM documents
-""")
-def _field_mapping(spark, sf_dir):
-    """E18: FieldMappingExtractor — another field's extracted value
-    mapped through a dict (extractors.py:445-469); the engine resolves
-    the source field and evaluates it first (topological order). Both
-    fields compile to native CASE columns here (zero Python)."""
-    docs = _t(spark, sf_dir, "documents")
-    ct = (F.when(F.col("doc_id") % 3 == 0,
-                 F.lit("text/html; charset=utf-8"))
-          .when(F.col("doc_id") % 3 == 1, F.lit("application/pdf"))
-          .otherwise(F.lit("application/zip")))
-    resources = _doc_resources(docs).withColumn(
-        "headers", F.create_map(F.lit("content-type"), ct))
+    resources = (_doc_resources(docs)
+                 .withColumn("headers", headers)
+                 .withColumn("lastmod", lastmod))
     fields = [
         cfg.Field("doc_format", cfg.HeaderMappingExtractor(
             "content-type",
@@ -1473,11 +1426,15 @@ def _field_mapping(spark, sf_dir):
             "doc_format",
             {"HTML page": "Webseite", "PDF document": "PDF Dokument"},
             default="Sonstige")),
+        cfg.Field("filename", cfg.FilenameExtractor()),
+        cfg.Field("modified", cfg.LastModifiedExtractor(),
+                  type_=datetime, required=True),
     ]
     out = extract_documents(resources,
                             cfg.CrawlerConfig(sites=[], fields=fields),
                             CRAWL_TIME, passthrough=("doc_id",))
-    return out.select("doc_id", "doc_type_label")
+    return out.select("doc_id", "doc_format", "doc_type_label",
+                      "filename", "modified")
 
 
 @_q("sitemap_parse_roundtrip", """
@@ -1658,65 +1615,58 @@ def _robots_gate(spark, sf_dir):
 # --- multimodal -------------------------------------------------------------
 
 
-@_q("multimodal_blob_meta", """
-SELECT doc_id,
-  octet_length(encode(text)) AS n_bytes,
-  1 + ('0x'||substr(md5(text),1,15))::BIGINT % 1024 AS width,
-  1 + ('0x'||substr(md5('h:'||text),1,15))::BIGINT % 768 AS height,
-  substr(md5(text), 1, 8) AS magic
-FROM documents
-""")
-def _blob_meta(spark, sf_dir):
-    """Multimodal decode plumbing: binary column → mapInPandas (Arrow
-    batches) → typed metadata struct. Codec is a deterministic fake
-    (sandbox has no image libs); the distributed path is real."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("blob"))
-    return multimodal.blob_meta(docs)
-
-
-@_q("multimodal_resize_meta", """
-WITH dims AS (
-  SELECT doc_id, encode(text) AS blob,
-    1 + ('0x'||substr(md5(text),1,15))::BIGINT % 1024 AS w,
-    1 + ('0x'||substr(md5('h:'||text),1,15))::BIGINT % 768 AS h
+@_q("multimodal_meta_wide", """
+WITH meta AS (
+  SELECT doc_id, text,
+    octet_length(encode(text)) AS n_bytes,
+    1 + ('0x'||substr(md5(text),1,15))::BIGINT % 1024 AS width,
+    1 + ('0x'||substr(md5('h:'||text),1,15))::BIGINT % 768 AS height,
+    substr(md5(text), 1, 8) AS magic
   FROM documents),
 fit AS (
-  SELECT doc_id, blob,
-    greatest(1, floor(w * least(224.0 / w, 224.0 / h))::BIGINT) AS out_w,
-    greatest(1, floor(h * least(224.0 / w, 224.0 / h))::BIGINT) AS out_h
-  FROM dims)
-SELECT doc_id, out_w, out_h,
-  md5(out_w || 'x' || out_h || ':' || text) AS resized_hash
-FROM fit JOIN documents USING (doc_id)
-""")
-def _resize_meta(spark, sf_dir):
-    """Resize plumbing: aspect-preserving fit from the fake-decoded
-    dims; Arrow batches, shuffle-free, deterministic fake pixels."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("blob"))
-    return multimodal.resize_meta(docs)
-
-
-@_q("multimodal_feature_extract", """
-SELECT doc_id, j,
+  SELECT doc_id,
+    greatest(1, floor(width * least(224.0 / width,
+                                    224.0 / height))::BIGINT) AS out_w,
+    greatest(1, floor(height * least(224.0 / width,
+                                     224.0 / height))::BIGINT) AS out_h
+  FROM meta)
+SELECT m.doc_id, j,
   ('0x'||substr(md5(j || ':' || text),1,15))::BIGINT
-    / 1152921504606846976.0 AS component
-FROM documents, (SELECT unnest(range(0, 8)) AS j)
+    / 1152921504606846976.0 AS component,
+  n_bytes, width, height, magic, out_w, out_h,
+  md5(out_w || 'x' || out_h || ':' || text) AS resized_hash
+FROM meta m JOIN fit USING (doc_id), (SELECT unnest(range(0, 8)) AS j)
 """)
-def _feature_extract(spark, sf_dir):
-    """Feature-extraction plumbing: binary → fixed-dim array<double>
-    embedding via mapInPandas (a real encoder swaps in with the same
-    plan shape); md5-derived fake model keeps it oracle-exact. The
-    vector is exploded to scalar components for the cross-engine
-    value-hash (array columns stringify differently per engine)."""
+def _multimodal_meta(spark, sf_dir):
+    """Multimodal decode + resize + feature-extract plumbing in one
+    certified relation (binary columns with typed metadata — the
+    training-pipeline image/audio shape):
+
+    - blob_meta: binary → mapInPandas (Arrow batches) → typed metadata
+      struct (n_bytes, width, height, magic);
+    - resize_meta: aspect-preserving 224×224 fit from the decoded dims
+      (out_w, out_h, resized_hash) — shuffle-free Arrow batches;
+    - feature_extract: binary → fixed-dim array<double> embedding (a
+      real encoder swaps in with the same plan shape), exploded to
+      scalar components for the cross-engine value-hash (array columns
+      stringify differently per engine).
+
+    The codec is a deterministic fake (sandbox has no image libs —
+    multimodal.decode_image is the honest NotImplementedError hook);
+    the distributed path (schemas, Arrow batch shapes, partitioning)
+    is real. The per-doc joins are small-key equi-joins at check
+    scale; production keeps the three derivations fused in one
+    mapInPandas pass instead."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("blob"))
-    feats = multimodal.feature_extract(docs)
-    return feats.select(
-        "doc_id", F.posexplode("feature").alias("j", "component")) \
-        .select("doc_id", F.col("j").cast("long").alias("j"),
-                "component")
+    meta = multimodal.blob_meta(docs)
+    fit = multimodal.resize_meta(docs)
+    comp = (multimodal.feature_extract(docs)
+            .select("doc_id",
+                    F.posexplode("feature").alias("j", "component"))
+            .select("doc_id", F.col("j").cast("long").alias("j"),
+                    "component"))
+    return comp.join(meta, "doc_id").join(fit, "doc_id")
 
 
 @_q("multimodal_frame_sample", """
