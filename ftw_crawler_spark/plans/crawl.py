@@ -415,7 +415,26 @@ def _write_ckpt(root: str, batch_id: int, remaining: DataFrame,
     host_state.write.mode("overwrite").parquet(
         os.path.join(d, "host_state"))
     with open(os.path.join(d, "_COMMIT"), "w") as fh:
-        fh.write("ok")
+        fh.write("full")
+
+
+def _ckpt_kind(root: str, batch_id: int) -> str:
+    """'full' | 'delta' for a COMMITTED batch dir. The kind is recorded
+    in the _COMMIT marker at commit time — the full-vs-delta decision
+    must never be re-derived from directory layout or from the current
+    ``ckpt_full_every`` argument: a crash can leave a torn ``remaining``
+    dir inside a batch that later committed as a delta, and a resume
+    with a different cadence must still classify historical batches
+    correctly. Legacy markers (pre-kind, body 'ok') fall back to
+    requiring a COMPLETE parquet write (``remaining/_SUCCESS``), so a
+    torn snapshot is never adopted as a frontier."""
+    d = os.path.join(root, f"batch={batch_id}")
+    with open(os.path.join(d, "_COMMIT")) as fh:
+        kind = fh.read().strip()
+    if kind in ("full", "delta"):
+        return kind
+    return ("full" if os.path.exists(
+        os.path.join(d, "remaining", "_SUCCESS")) else "delta")
 
 
 def _read_ckpt(spark: SparkSession, root: str, batch_id: int):

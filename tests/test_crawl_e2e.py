@@ -368,8 +368,10 @@ def test_corrupt_sitemap_site_not_purged(spark, world, engine_run,
     r = run_crawl(spark, world2, out, crawl_time=CRAWL_TIME,
                   batch_seconds=5.0)
     errs = [m for m in r.metrics if m.get("event") == "site_error"]
+    # probe-body validation catches the corrupt urlset at DISCOVERY
+    # (the reference raises from the Sitemap constructor — same stage)
     assert [(e["site_id"], e["error"]) for e in errs] == \
-        [(1, "sitemap XML parse error")]
+        [(1, "Invalid sitemap XML at http://site1.example.org/sitemap.xml")]
     # site1's pre-existing index docs survive (no mass purge)
     site1_before = (spark.read.parquet(f"{world}/index0.parquet")
                     .filter(F.col("url").startswith(
