@@ -38,19 +38,44 @@ def _hits(tokens: Column, words: tuple) -> Column:
     return F.size(F.filter(tokens, lambda x: x.isin(*words)))
 
 
+def _pred_lang_col(toks: Column) -> Column:
+    """argmax stopword votes, ties resolved in LANG_ORDER precedence;
+    zero hits everywhere → 'und'."""
+    hits = {lang: _hits(toks, ws) for lang, ws in STOPWORDS.items()}
+    en, de, fr, es = (hits[lang] for lang in LANG_ORDER)
+    return (F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
+            .when((de >= fr) & (de >= es) & (de > 0), "de")
+            .when((fr >= es) & (fr > 0), "fr")
+            .when(es > 0, "es")
+            .otherwise("und"))
+
+
+def _quality_cols(toks: Column) -> list:
+    """Integer quality features + boolean gate: quality_ok =
+    10 ≤ n_tokens ≤ 10000 and mean token length in [3, 12] (integer
+    cross-multiplied — no float)."""
+    n_tokens = F.size(toks)
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("^[A-Za-zÀ-ÿ]+$")))
+    sum_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    stop_hits = _hits(toks, STOPWORDS["en"])
+    ok = ((n_tokens >= 10) & (n_tokens <= 10000)
+          & (sum_chars >= 3 * n_tokens) & (sum_chars <= 12 * n_tokens))
+    return [n_tokens.cast("long").alias("n_tokens"),
+            n_alpha.cast("long").alias("n_alpha_tokens"),
+            sum_chars.alias("sum_token_chars"),
+            stop_hits.cast("long").alias("stop_hits"),
+            ok.alias("quality_ok")]
+
+
 def lang_id(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """(id, pred_lang): argmax stopword votes, ties resolved in
     LANG_ORDER precedence; zero hits everywhere → 'und'."""
     toks = tokens_col(text_col)
-    hits = {lang: _hits(toks, ws) for lang, ws in STOPWORDS.items()}
-    en, de, fr, es = (hits[lang] for lang in LANG_ORDER)
-    pred = (F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
-            .when((de >= fr) & (de >= es) & (de > 0), "de")
-            .when((fr >= es) & (fr > 0), "fr")
-            .when(es > 0, "es")
-            .otherwise("und"))
-    return docs.select(F.col(id_col), pred.alias("pred_lang"))
+    return docs.select(F.col(id_col),
+                       _pred_lang_col(toks).alias("pred_lang"))
 
 
 def quality_stats(docs: DataFrame, text_col: str = "text",
@@ -60,21 +85,18 @@ def quality_stats(docs: DataFrame, text_col: str = "text",
     quality_ok). quality_ok = 10 ≤ n_tokens ≤ 10000 and mean token
     length in [3, 12] (integer cross-multiplied — no float)."""
     toks = tokens_col(text_col)
-    n_tokens = F.size(toks)
-    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("^[A-Za-zÀ-ÿ]+$")))
-    sum_chars = F.aggregate(
-        F.transform(toks, lambda x: F.length(x)),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-    stop_hits = _hits(toks, STOPWORDS["en"])
-    ok = ((n_tokens >= 10) & (n_tokens <= 10000)
-          & (sum_chars >= 3 * n_tokens) & (sum_chars <= 12 * n_tokens))
-    return docs.select(
-        F.col(id_col),
-        n_tokens.cast("long").alias("n_tokens"),
-        n_alpha.cast("long").alias("n_alpha_tokens"),
-        sum_chars.alias("sum_token_chars"),
-        stop_hits.cast("long").alias("stop_hits"),
-        ok.alias("quality_ok"))
+    return docs.select(F.col(id_col), *_quality_cols(toks))
+
+
+def lang_quality(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """lang_id + quality_stats in ONE projection — one scan, no join
+    (the shape curation pipelines consume): (id, pred_lang, n_tokens,
+    n_alpha_tokens, sum_token_chars, stop_hits, quality_ok)."""
+    toks = tokens_col(text_col)
+    return docs.select(F.col(id_col),
+                       _pred_lang_col(toks).alias("pred_lang"),
+                       *_quality_cols(toks))
 
 
 def token_counts(docs: DataFrame, text_col: str = "text",
