@@ -24,6 +24,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _dir_bytes(d: str) -> int:
+    total = 0
+    for root, _, files in os.walk(d):
+        for name in files:
+            total += os.path.getsize(os.path.join(root, name))
+    return total
+
+
 class IndexSink:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -127,6 +135,28 @@ class IndexSink:
         return (log.withColumn("__rn", F.row_number().over(w))
                 .filter((F.col("__rn") == 1) & (~F.col("is_delete")))
                 .drop("__rn", "is_delete"))
+
+    def should_compact(self, compact_every: int | None,
+                       max_delta_frac: float | None = 0.5) -> bool:
+        """MOR maintenance policy: compact when the delta log exceeds
+        EITHER ``compact_every`` generations OR ``max_delta_frac`` of
+        the base snapshot's bytes. Generation count alone misgauges
+        both extremes — a run of many tiny batches would compact
+        (rewrite the whole base) for nothing, while a few huge batches
+        would let the read-side LWW window grow unboundedly before the
+        count trips. Sizes come from file metadata (a directory walk —
+        an object-store LIST in production), no Spark job."""
+        if not os.path.isdir(self.delta_root):
+            return False
+        gens = len(os.listdir(self.delta_root))
+        if compact_every and gens >= compact_every:
+            return True
+        if max_delta_frac is not None and self._exists(self.base_path):
+            base = _dir_bytes(self.base_path)
+            if base > 0 and _dir_bytes(self.delta_root) \
+                    >= max_delta_frac * base:
+                return True
+        return False
 
     def compact(self) -> None:
         """Fold the log into a fresh base snapshot. Crash-safe: the

@@ -27,13 +27,14 @@ host_state); crawl_seq is carried into the index (lineage) so the
 reference's global order is reconstructible; crawl_time is pinned in
 run_meta.json so resume is bit-stable (no wall-clock in the plan).
 
-Resume: checkpoints/batch=K holds host-state parquet plus EITHER a
-full remaining-frontier snapshot (batch -1 and every
-``ckpt_full_every`` batches) OR the batch's tiny *processed* delta
-(the politeness-capped crawl_seq set), with a commit marker written
-LAST. Delta checkpoints bound write amplification: a full rewrite per
-batch is O(frontier × batches) at a 10^10-row frontier, while a delta
-is proportional to the batch. Resume reconstructs
+Resume: checkpoints/batch=K holds EITHER a full remaining-frontier
+snapshot + host-state parquet (batch -1 and every ``ckpt_full_every``
+batches) OR one combined *state* parquet (the batch's tiny
+politeness-capped processed crawl_seq set + host rows — one write,
+one job), with a commit marker recording the kind written LAST. Delta
+checkpoints bound write amplification: a full rewrite per batch is
+O(frontier × batches) at a 10^10-row frontier, while a delta is
+proportional to the batch. Resume reconstructs
 ``remaining = last_full_snapshot ANTI-JOIN ∪(processed deltas)``;
 a crash between sink append and commit replays batch K idempotently
 (upsert-by-UID makes the replay a no-op).
@@ -204,7 +205,8 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
               order_mode: str = "reference",
               pages_table: str | None = None,
               ckpt_full_every: int = 8,
-              compact_every: int | None = 16) -> CrawlResult:
+              compact_every: int | None = 16,
+              compact_delta_frac: float | None = 0.5) -> CrawlResult:
     sites = sites if sites is not None else default_sites()
     config = config or cfg.default_config()
     world = _load_world(spark, world_dir, pages_table=pages_table)
@@ -314,7 +316,14 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
         batch = politeness.select_batch(remaining, host_state,
                                         batch_seconds,
                                         order_mode=order_mode).cache()
-        admitted = batch.count()
+        # ONE job materializes the cache AND yields both the admitted
+        # total and the per-host lineage metric (north rule) — the
+        # per-batch driver latency budget is the sandbox bottleneck,
+        # so every folded job counts
+        per_host = {r["host"]: r["n"] for r in
+                    batch.groupBy("host").agg(
+                        F.count(F.lit(1)).alias("n")).collect()}
+        admitted = sum(per_host.values())
         if admitted == 0:
             # empty schedule ⇒ remaining frontier is exhausted (capacity
             # is ≥1 per host, so a non-empty frontier always admits rows)
@@ -339,18 +348,20 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
         if config.unique_field != "UID":
             docs = docs.withColumn("UID", F.col(config.unique_field))
         sink.append_upserts(docs, batch_id)
-        # count from the written delta (parquet footer metadata) — a
-        # docs.count() here would re-run the whole extraction stage
-        indexed = spark.read.parquet(
-            os.path.join(sink.delta_root, f"batch={batch_id}")).count()
+        # count from the written delta's parquet FOOTERS, driver-side —
+        # a docs.count() would re-run the whole extraction stage, and
+        # even a spark.read...count() costs a whole scheduler round
+        # trip for what is pure file metadata
+        indexed = _parquet_rows(
+            os.path.join(sink.delta_root, f"batch={batch_id}"))
         t_extract = time.perf_counter()
 
         # MOR maintenance: fold the delta log into the base when it
         # exceeds the generation budget (read-side LWW window stays
         # bounded however long the crawl runs)
         compacted = False
-        if compact_every and os.path.isdir(sink.delta_root) and \
-                len(os.listdir(sink.delta_root)) >= compact_every:
+        if (compact_every or compact_delta_frac is not None) and \
+                sink.should_compact(compact_every, compact_delta_frac):
             sink.compact()
             compacted = True
 
@@ -375,12 +386,6 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                 spark, ckpt_root, batch_id)
             remaining = remaining.join(processed, "crawl_seq",
                                        "left_anti")
-        # per-host lineage/metrics (north rule): admitted rows per host
-        # this batch — cheap, the batch is cached and tiny after the
-        # politeness cap
-        per_host = {r["host"]: r["n"] for r in
-                    batch.groupBy("host").agg(
-                        F.count(F.lit(1)).alias("n")).collect()}
         metrics.append({"batch": batch_id, "admitted": admitted,
                         "indexed": indexed, "compacted": compacted,
                         "per_host_admitted": per_host,
@@ -400,6 +405,17 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
 
     return CrawlResult(out_dir=out_dir, batches=batch_id,
                        metrics=metrics, sink=sink)
+
+
+def _parquet_rows(d: str) -> int:
+    """Total row count of a parquet dir from file footers alone — no
+    Spark job (one metadata read per part file; a batch writes a
+    bounded number of parts, so this is O(parallelism) tiny reads)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    return sum(pq.read_metadata(f).num_rows
+               for f in glob.glob(os.path.join(d, "*.parquet")))
 
 
 # ---------------------------------------------------------------------------
@@ -446,41 +462,60 @@ def _read_ckpt(spark: SparkSession, root: str, batch_id: int):
 def _write_delta_ckpt(root: str, batch_id: int, processed: DataFrame,
                       host_state: DataFrame) -> None:
     """Delta checkpoint: the batch's processed crawl_seq set (politeness-
-    capped — tiny) + host state. O(batch) bytes, not O(frontier)."""
+    capped — tiny) + host state, folded into ONE parquet write (one
+    Spark job, one commit — the fixed per-job driver latency is the
+    sandbox pipeline's dominant cost, BASELINE.md). Row kinds are
+    distinguished by the null pattern: processed rows carry crawl_seq,
+    host rows carry (host, sleeptime). O(batch) bytes, not
+    O(frontier)."""
     d = os.path.join(root, f"batch={batch_id}")
-    processed.write.mode("overwrite").parquet(
-        os.path.join(d, "processed"))
-    host_state.write.mode("overwrite").parquet(
-        os.path.join(d, "host_state"))
+    combined = processed.select(
+        "crawl_seq",
+        F.lit(None).cast("string").alias("host"),
+        F.lit(None).cast("double").alias("sleeptime"),
+    ).unionByName(host_state.select(
+        F.lit(None).cast("long").alias("crawl_seq"),
+        "host", "sleeptime"))
+    combined.write.mode("overwrite").parquet(os.path.join(d, "state"))
     with open(os.path.join(d, "_COMMIT"), "w") as fh:
-        fh.write("ok")
+        fh.write("delta")
 
 
 def _read_delta_ckpt(spark: SparkSession, root: str, batch_id: int):
-    d = os.path.join(root, f"batch={batch_id}")
-    return (spark.read.parquet(os.path.join(d, "processed")),
-            spark.read.parquet(os.path.join(d, "host_state")))
+    st = spark.read.parquet(
+        os.path.join(root, f"batch={batch_id}", "state"))
+    return (st.filter(F.col("crawl_seq").isNotNull())
+            .select("crawl_seq"),
+            st.filter(F.col("crawl_seq").isNull())
+            .select("host", "sleeptime"))
 
 
 def _resume_state(spark: SparkSession, root: str, committed: list):
     """Reconstruct (remaining, host_state, last_full) from the last
-    committed full snapshot plus the processed deltas after it."""
+    committed full snapshot plus the processed deltas after it. Batch
+    kind comes from the _COMMIT marker (``_ckpt_kind``), never from
+    directory layout — a torn 'remaining' dir from a crashed full-
+    snapshot attempt inside a delta-committed batch must not be
+    adopted as a frontier."""
     last = committed[-1]
-    fulls = [b for b in committed
-             if os.path.isdir(os.path.join(root, f"batch={b}",
-                                           "remaining"))]
+    fulls = [b for b in committed if _ckpt_kind(root, b) == "full"]
     last_full = max(b for b in fulls if b <= last)
     remaining = spark.read.parquet(
         os.path.join(root, f"batch={last_full}", "remaining"))
     delta_ids = [b for b in committed if last_full < b <= last]
     if delta_ids:
-        processed = spark.read.parquet(*[
-            os.path.join(root, f"batch={b}", "processed")
+        state = spark.read.parquet(*[
+            os.path.join(root, f"batch={b}", "state")
             for b in delta_ids])
-        remaining = remaining.join(processed.select("crawl_seq"),
-                                   "crawl_seq", "left_anti")
-    host_state = spark.read.parquet(
-        os.path.join(root, f"batch={last}", "host_state"))
+        remaining = remaining.join(
+            state.filter(F.col("crawl_seq").isNotNull())
+            .select("crawl_seq"),
+            "crawl_seq", "left_anti")
+    if _ckpt_kind(root, last) == "full":
+        host_state = spark.read.parquet(
+            os.path.join(root, f"batch={last}", "host_state"))
+    else:
+        host_state = _read_delta_ckpt(spark, root, last)[1]
     return remaining, host_state, last_full
 
 

@@ -323,9 +323,12 @@ def test_delta_checkpoints_proportional_to_batch(engine_run):
     assert engine_run.batches >= 2
     for b in range(min(engine_run.batches, 7)):   # batch 7 is a full
         d = os.path.join(root, f"batch={b}")
-        assert os.path.isdir(os.path.join(d, "processed"))
+        # one combined state write (processed delta + host rows)
+        assert os.path.isdir(os.path.join(d, "state"))
         assert not os.path.isdir(os.path.join(d, "remaining"))
-        assert _dir_bytes(os.path.join(d, "processed")) < full
+        with open(os.path.join(d, "_COMMIT")) as fh:
+            assert fh.read() == "delta"
+        assert _dir_bytes(os.path.join(d, "state")) < full
 
 
 def test_compaction_mid_run_same_index(spark, world, engine_run,

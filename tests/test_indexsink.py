@@ -122,3 +122,22 @@ def test_snapshot_diff_classification(spark):
     assert out == {"a": "removed", "b": "unchanged", "c": "changed",
                    "d": "unchanged",  # NULL fingerprint compares equal
                    "e": "added"}
+
+
+def test_compaction_policy_by_bytes_and_generations(spark, tmp_path):
+    """should_compact fires on EITHER trigger: generation count
+    (compact_every) or delta bytes vs base fraction — many tiny
+    batches and few huge ones both compact sensibly."""
+    sink = _sink(spark, tmp_path)   # base + 2 small delta generations
+    # generation trigger
+    assert not sink.should_compact(compact_every=3, max_delta_frac=None)
+    assert sink.should_compact(compact_every=2, max_delta_frac=None)
+    # byte trigger: two tiny deltas are already a large fraction of the
+    # tiny base here, so a high threshold stays quiet and a low one
+    # fires even though the generation budget (100) is nowhere near
+    assert not sink.should_compact(compact_every=100,
+                                   max_delta_frac=50.0)
+    assert sink.should_compact(compact_every=100, max_delta_frac=0.01)
+    # and with no base snapshot the byte trigger never divides by zero
+    empty = IndexSink(spark, str(tmp_path / "index2"))
+    assert not empty.should_compact(compact_every=1, max_delta_frac=0.5)
