@@ -329,7 +329,9 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
 
 def connected_components(pairs: DataFrame, a_col: str = "a",
                          b_col: str = "b",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         algorithm: str = "propagation",
+                         stats: dict | None = None) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``;
     ``component`` is the minimum node id of its connected component.
 
@@ -338,15 +340,25 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     clusters: keep ``node == component`` as the canonical doc, drop
     the rest.
 
-    Distributed iterative min-label propagation: each round joins the
-    (undirected) edge list against the current labels, takes the
-    per-node min, and stops when a round changes nothing. One shuffle
-    per round on the node id; the driver sees only a changed-row count
-    per round. Lineage is truncated per round (localCheckpoint), the
-    same pattern as the k-means refinement loop. Rounds needed =
-    graph diameter — near-dup graphs are dense near-cliques (diameter
-    ≤ ~4); for adversarial long-chain graphs swap in pointer-doubling
-    (large-star/small-star) which this sandbox's worlds never need.
+    ``algorithm``:
+
+    - ``"propagation"`` (default): iterative min-label propagation —
+      each round joins the (undirected) edge list against the current
+      labels and takes the per-node min. One label shuffle per round;
+      rounds = graph diameter. The right tool for near-dup graphs,
+      which are dense near-cliques (diameter ≤ ~4).
+    - ``"pointer_doubling"``: each round ALSO shortcuts labels through
+      themselves (L(v) ← min(L(v), L(L(v))) — a labels self-join),
+      halving the remaining distance to the component minimum every
+      round: O(log n) rounds on adversarial long-chain graphs where
+      propagation needs O(diameter). Costs one extra shuffle per
+      round, so it only wins when the diameter is large.
+
+    Both modes produce identical labels (pinned by test_dedup_clusters);
+    the driver still sees only a changed-row count per round, and
+    lineage is truncated per round (localCheckpoint) — the same
+    pattern as the k-means refinement loop. ``stats``, when given,
+    receives {"rounds": n} for observability/tests.
     """
     edges = (pairs.select(F.col(a_col).alias("src"),
                           F.col(b_col).alias("dst"))
@@ -359,7 +371,9 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
              .localCheckpoint(eager=True))
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("component", F.col("node")))
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # min label over each node's neighbours, pre-aggregated before
         # the join back (map-side combine shrinks the shuffled hop set
         # to one row per node)
@@ -374,14 +388,30 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
                        F.least(
                            "component",
                            F.coalesce("__h", F.col("component")))
-                       .alias("component"))
-               # lazy: the convergence count below is the action that
-               # materializes this round's checkpoint — one job per
-               # round, and the next round reads the stored partitions
-               .localCheckpoint(eager=False))
+                       .alias("component")))
+        if algorithm == "pointer_doubling":
+            # shortcut: L(v) ← min(L(v), L(L(v))). L(v) is always the
+            # id of a node in v's component, so the self-join is total
+            # (left join only guards the in-flight asymmetry before
+            # convergence); labels stay within the component and only
+            # decrease — same fixpoint, logarithmic rounds on chains
+            thru = upd.select(F.col("node").alias("__ln"),
+                              F.col("component").alias("__lc"))
+            upd = (upd.join(thru, upd["component"] == thru["__ln"],
+                            "left")
+                   .select("node", "__old",
+                           F.least("component",
+                                   F.coalesce("__lc", "component"))
+                           .alias("component")))
+        # lazy: the convergence count below is the action that
+        # materializes this round's checkpoint — one job per round,
+        # and the next round reads the stored partitions
+        upd = upd.localCheckpoint(eager=False)
         changed = (upd.filter(F.col("component") < F.col("__old"))
                    .limit(1).count())
         labels = upd.select("node", "component")
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels

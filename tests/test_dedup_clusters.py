@@ -30,6 +30,26 @@ def test_components_direction_irrelevant(spark):
     assert _cc(spark, [(5, 2), (2, 9)]) == {2: 2, 5: 2, 9: 2}
 
 
+def test_pointer_doubling_same_labels_fewer_rounds(spark):
+    """Adversarial chain graph: min-label propagation needs O(diameter)
+    rounds, pointer doubling (label shortcutting) O(log n) — with
+    identical final labels. Near-dup graphs never need this (they are
+    near-cliques), but a long near-dup *transitive* chain does."""
+    chain = [(i, i + 1) for i in range(16)]
+    pairs = spark.createDataFrame(chain, "a long, b long")
+    s_prop: dict = {}
+    s_pd: dict = {}
+    prop = {r["node"]: r["component"] for r in connected_components(
+        pairs, max_iter=30, stats=s_prop).collect()}
+    pd_ = {r["node"]: r["component"] for r in connected_components(
+        pairs, max_iter=30, algorithm="pointer_doubling",
+        stats=s_pd).collect()}
+    assert prop == pd_ == {i: 0 for i in range(17)}
+    assert s_prop["rounds"] >= 15          # hop-by-hop
+    assert s_pd["rounds"] <= 9             # distance doubles per round
+    assert s_pd["rounds"] < s_prop["rounds"]
+
+
 def test_hash_sample_deterministic_and_partition_invariant(spark):
     df = spark.range(2000).select(F.col("id").alias("doc_id"))
     a = {r["doc_id"] for r in
