@@ -137,15 +137,27 @@ class IndexSink:
                 .drop("__rn", "is_delete"))
 
     def should_compact(self, compact_every: int | None,
-                       max_delta_frac: float | None = 0.5) -> bool:
+                       max_delta_frac: float | None = 0.5,
+                       compact_min_bytes: int = 256 << 20) -> bool:
         """MOR maintenance policy: compact when the delta log exceeds
         EITHER ``compact_every`` generations OR ``max_delta_frac`` of
         the base snapshot's bytes. Generation count alone misgauges
         both extremes — a run of many tiny batches would compact
         (rewrite the whole base) for nothing, while a few huge batches
         would let the read-side LWW window grow unboundedly before the
-        count trips. Sizes come from file metadata (a directory walk —
-        an object-store LIST in production), no Spark job."""
+        count trips.
+
+        ``compact_min_bytes`` floors the BYTE trigger: early in a crawl
+        the base is near-empty, so a bare ratio fires on every batch —
+        a full base rewrite per batch is O(total²) write amplification.
+        With the floor, compactions only happen once the delta is
+        absolutely large, so the base grows geometrically between them
+        and amortized rewrite work stays O(total / max_delta_frac).
+        The generation-count trigger is unaffected (it bounds the
+        number of log dirs the read side unions, floor or not).
+
+        Sizes come from file metadata (a directory walk — an
+        object-store LIST in production), no Spark job."""
         if not os.path.isdir(self.delta_root):
             return False
         gens = len(os.listdir(self.delta_root))
@@ -153,8 +165,9 @@ class IndexSink:
             return True
         if max_delta_frac is not None and self._exists(self.base_path):
             base = _dir_bytes(self.base_path)
-            if base > 0 and _dir_bytes(self.delta_root) \
-                    >= max_delta_frac * base:
+            delta = _dir_bytes(self.delta_root)
+            if base > 0 and delta >= compact_min_bytes \
+                    and delta >= max_delta_frac * base:
                 return True
         return False
 

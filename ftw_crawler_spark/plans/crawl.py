@@ -206,7 +206,8 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
               pages_table: str | None = None,
               ckpt_full_every: int = 8,
               compact_every: int | None = 16,
-              compact_delta_frac: float | None = 0.5) -> CrawlResult:
+              compact_delta_frac: float | None = 0.5,
+              compact_min_bytes: int = 256 << 20) -> CrawlResult:
     sites = sites if sites is not None else default_sites()
     config = config or cfg.default_config()
     world = _load_world(spark, world_dir, pages_table=pages_table)
@@ -361,7 +362,8 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
         # bounded however long the crawl runs)
         compacted = False
         if (compact_every or compact_delta_frac is not None) and \
-                sink.should_compact(compact_every, compact_delta_frac):
+                sink.should_compact(compact_every, compact_delta_frac,
+                                    compact_min_bytes):
             sink.compact()
             compacted = True
 

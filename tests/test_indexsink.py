@@ -136,8 +136,20 @@ def test_compaction_policy_by_bytes_and_generations(spark, tmp_path):
     # tiny base here, so a high threshold stays quiet and a low one
     # fires even though the generation budget (100) is nowhere near
     assert not sink.should_compact(compact_every=100,
-                                   max_delta_frac=50.0)
-    assert sink.should_compact(compact_every=100, max_delta_frac=0.01)
+                                   max_delta_frac=50.0,
+                                   compact_min_bytes=0)
+    assert sink.should_compact(compact_every=100, max_delta_frac=0.01,
+                               compact_min_bytes=0)
+    # the min-bytes floor suppresses the ratio trigger while the delta
+    # is absolutely small (a young crawl's near-empty base would
+    # otherwise ratio-fire on every batch — O(total²) rewrites); the
+    # default floor is far above any test-sized delta
+    assert not sink.should_compact(compact_every=100,
+                                   max_delta_frac=0.01)
+    assert not sink.should_compact(compact_every=100,
+                                   max_delta_frac=0.01,
+                                   compact_min_bytes=1 << 30)
     # and with no base snapshot the byte trigger never divides by zero
     empty = IndexSink(spark, str(tmp_path / "index2"))
-    assert not empty.should_compact(compact_every=1, max_delta_frac=0.5)
+    assert not empty.should_compact(compact_every=1, max_delta_frac=0.5,
+                                    compact_min_bytes=0)
