@@ -228,6 +228,14 @@ def _discover(spark: SparkSession, sites: list, sitemaps: DataFrame):
                   F.col("probe_ord")).alias("c"))
               .select("site_id", "c.sitemap_url", "c.wants_index",
                       "c.state", "c.gz", "c.xml"))
+    # ``chosen`` is tiny (one row per probed site; xml kept only for
+    # the winning INDEX bodies) but feeds four downstream branches
+    # (parsed entries, index children, not-found, bad-xml) — without a
+    # materialization each branch re-runs the probe join + state-UDF
+    # parse + min_by shuffle, which measured as the dominant cost of
+    # the whole frontier build. One eager local checkpoint runs
+    # discovery exactly once.
+    chosen = chosen.localCheckpoint(eager=True)
     ok = chosen.filter(F.col("state") != "invalid")
     idx_children = (
         ok.filter(F.col("wants_index"))
