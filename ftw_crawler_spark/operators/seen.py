@@ -41,6 +41,16 @@ The filter is SHARDED by ``pmod(xxhash64(url, seed), n_shards)``:
     same k positions); the exact anti-join backstop downstream makes
     either safe.
 
+- **relation form (the 10^10 end-to-end path)**: ``split_by_index``
+  dispatches on the filter's computed size. Below
+  ``BROADCAST_MAX_BYTES`` it takes the bytes path above; above it the
+  filter NEVER exists as one object anywhere — ``
+  build_url_bloom_relation`` keeps it as a (shard, bits) DataFrame
+  (one ≤8 MiB row per shard, driver holds only the plan),
+  ``merge_bloom_relations`` ORs incremental batches shard-by-shard,
+  and the cogrouped probe joins shard-to-shard. Driver memory O(1),
+  task memory O(shard), at every stage of build/merge/serve.
+
 (Spark's internal BloomFilter aggregate is not SQL-exposed in this
 build, and rolling our own keeps the filter format stable for the
 checkpoint state table and gives the shard layout the north rule asks
@@ -99,34 +109,34 @@ def _hash_cols(url_col: str, n_shards: int) -> list:
     ]
 
 
-def build_url_bloom(df: DataFrame, url_col: str = "url",
-                    expected_items: int | None = None,
-                    fpp: float = 0.03,
-                    shape: tuple | None = None,
-                    n_shards: int | None = None) -> bytes | None:
-    """One-pass distributed sharded build. Returns the serialized filter
-    (header: magic, per-shard n_bits, k, n_shards) or None for an empty
-    relation.
-
-    ``shape=(n_bits, k, n_shards)`` pins the geometry so the result is
-    OR-merge compatible with an existing filter (incremental per-batch
-    deltas, streaming/frontier_stream.py)."""
+def _resolve_shape(df: DataFrame, expected_items: int | None,
+                   fpp: float, shape: tuple | None,
+                   n_shards: int | None) -> tuple:
     if shape is not None:
-        n_bits, k, n_shards = shape
-    else:
-        if expected_items is None:
-            expected_items = max(1024, df.count())
-        total_bits, k = _params(expected_items, fpp)
-        if n_shards is None:
-            n_shards = max(1, total_bits // _SHARD_MAX_BITS)
-        n_bits = total_bits // n_shards       # both powers of two
-    shard_bytes = n_bits // 8
+        return shape
+    if expected_items is None:
+        expected_items = max(1024, df.count())
+    total_bits, k = _params(expected_items, fpp)
+    if n_shards is None:
+        n_shards = max(1, total_bits // _SHARD_MAX_BITS)
+    return total_bits // n_shards, k, n_shards   # both powers of two
 
+
+def _shard_build_plan(df: DataFrame, url_col: str,
+                      shape: tuple) -> DataFrame:
+    """The shared build plan: (s, bits) with all of a shard's rows
+    co-located so each task materializes ONLY the ≤8 MiB arrays of the
+    shards in its partition (≈1 in expectation) and the output has
+    exactly one row per non-empty shard."""
+    n_bits, k, n_shards = shape
+    shard_bytes = n_bits // 8
     hashes = df.select(*_hash_cols(url_col, n_shards))
     if n_shards > 1:
-        # co-locate each shard's rows: a task then builds ONLY the
-        # shards in its partition (≈1 in expectation), and the driver
-        # sees exactly one row per non-empty shard
+        # the memory-bounding step: co-locating a shard's rows means a
+        # task materializes only its own partition's shard arrays
+        # (≈1 each), never one array per shard it happens to see. A
+        # 1-shard filter is ≤8 MiB total, so it builds as parallel
+        # per-partition partials instead (no shuffle of hash rows).
         hashes = hashes.repartition(n_shards, "s")
 
     def partition_filter(pdfs):
@@ -145,8 +155,27 @@ def build_url_bloom(df: DataFrame, url_col: str = "url",
         for s_val, bits in shards.items():
             yield pd.DataFrame({"s": [s_val], "bits": [bits.tobytes()]})
 
-    parts = hashes.mapInPandas(partition_filter,
-                               "s int, bits binary").collect()
+    return hashes.mapInPandas(partition_filter, "s int, bits binary")
+
+
+def build_url_bloom(df: DataFrame, url_col: str = "url",
+                    expected_items: int | None = None,
+                    fpp: float = 0.03,
+                    shape: tuple | None = None,
+                    n_shards: int | None = None) -> bytes | None:
+    """One-pass distributed sharded build. Returns the serialized filter
+    (header: magic, per-shard n_bits, k, n_shards) or None for an empty
+    relation. The driver holds O(total filter bytes) once — the small-
+    filter form; above ``BROADCAST_MAX_BYTES`` use
+    ``build_url_bloom_relation`` and the filter never exists whole.
+
+    ``shape=(n_bits, k, n_shards)`` pins the geometry so the result is
+    OR-merge compatible with an existing filter (incremental per-batch
+    deltas, streaming/frontier_stream.py)."""
+    shape = _resolve_shape(df, expected_items, fpp, shape, n_shards)
+    n_bits, k, n_shards = shape
+    shard_bytes = n_bits // 8
+    parts = _shard_build_plan(df, url_col, shape).collect()
     if not parts:
         return None
     merged = np.zeros(shard_bytes * n_shards, dtype=np.uint8)
@@ -155,6 +184,43 @@ def build_url_bloom(df: DataFrame, url_col: str = "url",
         merged[off:off + shard_bytes] |= np.frombuffer(row["bits"],
                                                        dtype=np.uint8)
     return _MAGIC + _HEADER.pack(n_bits, k, n_shards) + merged.tobytes()
+
+
+def build_url_bloom_relation(df: DataFrame, url_col: str = "url",
+                             expected_items: int | None = None,
+                             fpp: float = 0.03,
+                             shape: tuple | None = None,
+                             n_shards: int | None = None):
+    """Relation-form build: ``((s, bits) DataFrame, shape)``. The filter
+    exists ONLY as one ≤8 MiB row per non-empty shard — no collect, no
+    concatenated array, driver memory O(plan). This is the 10^10-URL
+    build path; on a real cluster the returned relation is written as
+    the checkpoint state table partitioned by ``s`` and reused across
+    batches via ``merge_bloom_relations``."""
+    shape = _resolve_shape(df, expected_items, fpp, shape, n_shards)
+    rel = _shard_build_plan(df, url_col, shape)
+    if shape[2] == 1:
+        # the 1-shard build emits parallel per-partition partials —
+        # canonicalize to one row per shard (the probe cogroup reads
+        # exactly one bits row per group)
+        rel = merge_bloom_relations(rel, rel.limit(0))
+    return rel, shape
+
+
+def merge_bloom_relations(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two same-shape (s, bits) relations shard-by-shard (the
+    incremental path: previous state table ∪ this batch's delta). Each
+    task ORs one shard's ≤8 MiB rows — bit-identical to the byte-form
+    ``merge_blooms`` on the same inputs."""
+    def or_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint8).copy()
+        for raw in pdf["bits"].iloc[1:]:
+            acc |= np.frombuffer(raw, dtype=np.uint8)
+        return pd.DataFrame({"s": [pdf["s"].iloc[0]],
+                             "bits": [acc.tobytes()]})
+
+    return (a.unionByName(b).groupBy("s")
+            .applyInPandas(or_group, "s int, bits binary"))
 
 
 def merge_blooms(a: bytes | None, b: bytes | None) -> bytes | None:
@@ -207,18 +273,16 @@ def shard_rows(bloom_bytes: bytes) -> list:
     return out
 
 
-def _split_sharded(frontier: DataFrame, bloom_bytes: bytes,
-                   url_col: str):
-    """Shard-served probe: route each row to its shard, cogroup with
-    the (shard, bits) relation, evaluate membership against ONLY that
+def _mark_sharded(frontier: DataFrame, shards: DataFrame,
+                  shape: tuple, url_col: str) -> DataFrame:
+    """Shard-served probe core: route each row to its shard, cogroup
+    with the (s, bits) relation, evaluate membership against ONLY that
     shard's bytes. No task ever materializes the whole filter — the
     scale path for filters too big to broadcast."""
     from pyspark.sql import types as T
 
-    n_bits, k, n_shards = bloom_shape(bloom_bytes)
-    spark = frontier.sparkSession
-    shards = spark.createDataFrame(shard_rows(bloom_bytes),
-                                   "__bs int, bits binary")
+    n_bits, k, n_shards = shape
+    shards = shards.select(F.col("s").alias("__bs"), "bits")
     out_cols = frontier.columns
     out_schema = T.StructType(
         list(frontier.schema.fields)
@@ -246,6 +310,51 @@ def _split_sharded(frontier: DataFrame, bloom_bytes: bytes,
     return (hashed.groupBy("__bs")
             .cogroup(shards.groupBy("__bs"))
             .applyInPandas(probe_group, out_schema))
+
+
+def _split_sharded(frontier: DataFrame, bloom_bytes: bytes,
+                   url_col: str):
+    """Byte-form entry to the shard-served probe: expand the serialized
+    filter into its (s, bits) relation, then probe shard-to-shard."""
+    shape = bloom_shape(bloom_bytes)
+    shards = frontier.sparkSession.createDataFrame(
+        shard_rows(bloom_bytes), "s int, bits binary")
+    return _mark_sharded(frontier, shards, shape, url_col)
+
+
+def split_by_bloom_relation(frontier: DataFrame, shards: DataFrame,
+                            shape: tuple, url_col: str = "loc"):
+    """(definitely_new, candidates) against a relation-form filter from
+    ``build_url_bloom_relation`` — the whole filter never exists as one
+    object on any node. The marked relation is locally checkpointed
+    once: both output branches consume it, and without the
+    materialization each would re-run the cogrouped probe (and the
+    upstream filter build) from scratch."""
+    marked = _mark_sharded(frontier, shards, shape,
+                           url_col).localCheckpoint(eager=False)
+    new = marked.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+    cand = marked.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+    return new, cand
+
+
+def split_by_index(frontier: DataFrame, indexed: DataFrame,
+                   probe_col: str = "loc", url_col: str = "url",
+                   expected_items: int | None = None,
+                   fpp: float = 0.03):
+    """End-to-end seen split against an indexed-URL relation, picking
+    the serving form by the filter's computed size: small filters build
+    to driver bytes and broadcast-probe (no extra shuffle); filters
+    over ``BROADCAST_MAX_BYTES`` stay a (shard, bits) relation through
+    build → probe, so neither the driver nor any task ever holds the
+    concatenated array. Either way the result is a bloom PRE-filter:
+    callers verify candidates with the exact join (no false negatives
+    by construction, false positives only cost the lookup)."""
+    shape = _resolve_shape(indexed, expected_items, fpp, None, None)
+    if shape[0] // 8 * shape[2] <= BROADCAST_MAX_BYTES:
+        bloom = build_url_bloom(indexed, url_col, shape=shape)
+        return split_by_bloom(frontier, bloom, probe_col)
+    rel, shape = build_url_bloom_relation(indexed, url_col, shape=shape)
+    return split_by_bloom_relation(frontier, rel, shape, probe_col)
 
 
 def split_by_bloom(frontier: DataFrame, bloom_bytes: bytes | None,

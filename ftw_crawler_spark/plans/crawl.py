@@ -138,9 +138,12 @@ def _annotate_frontier(frontier: DataFrame, world: dict,
         df = df.withColumn("robots_allowed", F.lit(True))
 
     if index_current is not None:
-        # bloom prune: urls surely not indexed skip the exact join
-        bloom = seen.build_url_bloom(index_current.select("url"), "url")
-        new, cand = seen.split_by_bloom(df, bloom, "loc")
+        # bloom prune: urls surely not indexed skip the exact join.
+        # split_by_index picks the serving form by filter size —
+        # driver-bytes broadcast here (small index), the end-to-end
+        # (shard, bits) relation above BROADCAST_MAX_BYTES
+        new, cand = seen.split_by_index(df, index_current.select("url"),
+                                        "loc", "url")
         cand = with_last_indexed(cand, index_current, sites_dim)
         new = new.withColumn("last_indexed",
                              F.lit(None).cast("timestamp"))

@@ -111,6 +111,71 @@ def test_sharded_probe_task_memory_is_o_shard(spark, urls):
     assert seen.BROADCAST_MAX_BYTES < 9 * (1 << 30)
 
 
+def _reassemble(rel_rows, shape) -> bytes:
+    """(s, bits) rows → serialized filter, for byte-identity checks."""
+    n_bits, k, n_shards = shape
+    shard_bytes = n_bits // 8
+    merged = bytearray(shard_bytes * n_shards)
+    for r in rel_rows:
+        merged[r["s"] * shard_bytes:(r["s"] + 1) * shard_bytes] = \
+            bytes(r["bits"])
+    return seen._MAGIC + seen._HEADER.pack(n_bits, k, n_shards) + \
+        bytes(merged)
+
+
+def test_relation_build_bit_identical_to_bytes_build(spark, urls):
+    """The end-to-end relation form (driver never holds the filter)
+    must produce byte-for-byte the same filter as the collect-and-merge
+    build — multi-shard and the 1-shard partial-reduce special case."""
+    for n_shards in (8, 1):
+        blm = seen.build_url_bloom(urls, "url", expected_items=2000,
+                                   n_shards=n_shards)
+        rel, shape = seen.build_url_bloom_relation(
+            urls, "url", expected_items=2000, n_shards=n_shards)
+        rows = rel.collect()
+        assert len(rows) == len({r["s"] for r in rows})  # one row/shard
+        assert _reassemble(rows, shape) == blm
+
+
+def test_merge_relations_matches_bytes_merge(spark, urls):
+    even = urls.filter(F.xxhash64("url") % 2 == 0)
+    odd = urls.filter(F.xxhash64("url") % 2 != 0)
+    blm_a = seen.build_url_bloom(even, "url", expected_items=2000,
+                                 n_shards=8)
+    shape = seen.bloom_shape(blm_a)
+    rel_a, _ = seen.build_url_bloom_relation(even, "url", shape=shape)
+    rel_b, _ = seen.build_url_bloom_relation(odd, "url", shape=shape)
+    merged_rel = seen.merge_bloom_relations(rel_a, rel_b)
+    blm_b = seen.build_url_bloom(odd, "url", shape=shape)
+    assert _reassemble(merged_rel.collect(), shape) == \
+        seen.merge_blooms(blm_a, blm_b)
+
+
+def test_split_by_index_relation_path_matches_broadcast(
+        spark, urls, monkeypatch):
+    """Force the size dispatch down the relation path and check the
+    split agrees row-for-row with the broadcast path (same routing,
+    same k positions — identical false positives too)."""
+    probed = urls.withColumnRenamed("url", "loc").unionByName(
+        spark.range(2000, 6000).select(
+            F.concat(F.lit("https://other.example/"),
+                     F.col("id").cast("string")).alias("loc")))
+    new_b, cand_b = seen.split_by_index(probed, urls, "loc", "url",
+                                        expected_items=2000)
+    monkeypatch.setattr(seen, "BROADCAST_MAX_BYTES", 0)
+    new_r, cand_r = seen.split_by_index(probed, urls, "loc", "url",
+                                        expected_items=2000)
+    assert sorted(r["loc"] for r in new_r.collect()) == \
+        sorted(r["loc"] for r in new_b.collect())
+    assert sorted(r["loc"] for r in cand_r.collect()) == \
+        sorted(r["loc"] for r in cand_b.collect())
+    # the relation path exposes no concatenated array anywhere: its
+    # inputs stay (s, bits) rows of exactly one shard each
+    rel, shape = seen.build_url_bloom_relation(urls, "url",
+                                               expected_items=2000)
+    assert all(len(r["bits"]) == shape[0] // 8 for r in rel.collect())
+
+
 def test_auto_shard_count_scales_with_size(spark, urls):
     # small filter → 1 shard; the 10^10-design point → n_bits/2^26
     blm = seen.build_url_bloom(urls, "url", expected_items=2000)
