@@ -115,7 +115,8 @@ def _resolve_shape(df: DataFrame, expected_items: int | None,
     if shape is not None:
         return shape
     if expected_items is None:
-        expected_items = max(1024, df.count())
+        expected_items = df.count()
+    expected_items = max(1024, expected_items)
     total_bits, k = _params(expected_items, fpp)
     if n_shards is None:
         n_shards = max(1, total_bits // _SHARD_MAX_BITS)

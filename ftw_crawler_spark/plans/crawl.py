@@ -27,11 +27,12 @@ host_state); crawl_seq is carried into the index (lineage) so the
 reference's global order is reconstructible; crawl_time is pinned in
 run_meta.json so resume is bit-stable (no wall-clock in the plan).
 
-Resume: checkpoints/batch=K holds EITHER a full remaining-frontier
-snapshot + host-state parquet (batch -1 and every ``ckpt_full_every``
-batches) OR one combined *state* parquet (the batch's tiny
+Resume: checkpoints/batch=K holds ONE combined *state* parquet — for a
+full snapshot (batch -1 and every ``ckpt_full_every`` batches) the
+whole remaining frontier + host rows, for a delta the batch's tiny
 politeness-capped processed crawl_seq set + host rows — one write,
-one job), with a commit marker recording the kind written LAST. Delta
+one job either way, with a commit marker recording the kind written
+LAST (row kinds inside the file split on the crawl_seq null pattern). Delta
 checkpoints bound write amplification: a full rewrite per batch is
 O(frontier × batches) at a 10^10-row frontier, while a delta is
 proportional to the batch. Resume reconstructs
@@ -115,8 +116,12 @@ def _load_world(spark: SparkSession, world_dir: str,
 
 def _annotate_frontier(frontier: DataFrame, world: dict,
                        index_current: DataFrame | None,
-                       sites_dim: DataFrame, force: bool) -> DataFrame:
-    """Steps F3/F4/F7/F8 as one narrow-column pass; html untouched."""
+                       sites_dim: DataFrame, force: bool,
+                       expected_indexed: int | None = None) -> DataFrame:
+    """Steps F3/F4/F7/F8 as one narrow-column pass; html untouched.
+
+    ``expected_indexed`` sizes the seen bloom filter without a count
+    job (run_crawl reads it from the index base's parquet footers)."""
     pages_meta = world["pages"].select(F.col("url").alias("loc"),
                                        "warc_ts")
     fs = world["fetch_status"].select(
@@ -143,7 +148,8 @@ def _annotate_frontier(frontier: DataFrame, world: dict,
         # driver-bytes broadcast here (small index), the end-to-end
         # (shard, bits) relation above BROADCAST_MAX_BYTES
         new, cand = seen.split_by_index(df, index_current.select("url"),
-                                        "loc", "url")
+                                        "loc", "url",
+                                        expected_items=expected_indexed)
         cand = with_last_indexed(cand, index_current, sites_dim)
         new = new.withColumn("last_indexed",
                              F.lit(None).cast("timestamp"))
@@ -283,7 +289,8 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
         # bloom-probe + last-indexed join over the whole frontier
         annotated = _annotate_frontier(
             frontier, world, spark.read.parquet(sink.base_path), sdf,
-            force).persist()
+            force,
+            expected_indexed=_parquet_rows(sink.base_path)).persist()
         to_crawl = annotated.filter(F.col("skip_reason").isNull())
         skips = {r["skip_reason"]: r["n"] for r in
                  annotated.filter(F.col("skip_reason").isNotNull())
@@ -430,11 +437,19 @@ def _parquet_rows(d: str) -> int:
 
 def _write_ckpt(root: str, batch_id: int, remaining: DataFrame,
                 host_state: DataFrame) -> None:
-    """Full snapshot (batch -1 + every ckpt_full_every batches)."""
+    """Full snapshot (batch -1 + every ckpt_full_every batches): the
+    remaining frontier + host rows folded into ONE parquet write (one
+    Spark job, one commit — same shape as the delta checkpoint; fixed
+    per-job driver latency is the sandbox pipeline's dominant cost).
+    Row kinds are distinguished by the null pattern: frontier rows
+    carry crawl_seq, host rows carry (host, __hs_sleeptime)."""
     d = os.path.join(root, f"batch={batch_id}")
-    remaining.write.mode("overwrite").parquet(os.path.join(d, "remaining"))
-    host_state.write.mode("overwrite").parquet(
-        os.path.join(d, "host_state"))
+    combined = remaining.withColumn(
+        "__hs_sleeptime", F.lit(None).cast("double")).unionByName(
+        host_state.select(
+            "host", F.col("sleeptime").alias("__hs_sleeptime")),
+        allowMissingColumns=True)
+    combined.write.mode("overwrite").parquet(os.path.join(d, "state"))
     with open(os.path.join(d, "_COMMIT"), "w") as fh:
         fh.write("full")
 
@@ -460,8 +475,16 @@ def _ckpt_kind(root: str, batch_id: int) -> str:
 
 def _read_ckpt(spark: SparkSession, root: str, batch_id: int):
     d = os.path.join(root, f"batch={batch_id}")
-    return (spark.read.parquet(os.path.join(d, "remaining")),
-            spark.read.parquet(os.path.join(d, "host_state")))
+    if os.path.isdir(os.path.join(d, "remaining")):
+        # legacy two-file layout (pre combined-write checkpoints)
+        return (spark.read.parquet(os.path.join(d, "remaining")),
+                spark.read.parquet(os.path.join(d, "host_state")))
+    st = spark.read.parquet(os.path.join(d, "state"))
+    return (st.filter(F.col("crawl_seq").isNotNull())
+            .drop("__hs_sleeptime"),
+            st.filter(F.col("crawl_seq").isNull())
+            .select("host",
+                    F.col("__hs_sleeptime").alias("sleeptime")))
 
 
 def _write_delta_ckpt(root: str, batch_id: int, processed: DataFrame,
@@ -505,8 +528,7 @@ def _resume_state(spark: SparkSession, root: str, committed: list):
     last = committed[-1]
     fulls = [b for b in committed if _ckpt_kind(root, b) == "full"]
     last_full = max(b for b in fulls if b <= last)
-    remaining = spark.read.parquet(
-        os.path.join(root, f"batch={last_full}", "remaining"))
+    remaining, full_hs = _read_ckpt(spark, root, last_full)
     delta_ids = [b for b in committed if last_full < b <= last]
     if delta_ids:
         state = spark.read.parquet(*[
@@ -516,9 +538,8 @@ def _resume_state(spark: SparkSession, root: str, committed: list):
             state.filter(F.col("crawl_seq").isNotNull())
             .select("crawl_seq"),
             "crawl_seq", "left_anti")
-    if _ckpt_kind(root, last) == "full":
-        host_state = spark.read.parquet(
-            os.path.join(root, f"batch={last}", "host_state"))
+    if last == last_full:
+        host_state = full_hs
     else:
         host_state = _read_delta_ckpt(spark, root, last)[1]
     return remaining, host_state, last_full

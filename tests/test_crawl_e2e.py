@@ -319,7 +319,7 @@ def test_delta_checkpoints_proportional_to_batch(engine_run):
     capped) + host state — never a full frontier rewrite."""
     import os
     root = os.path.join(engine_run.out_dir, "checkpoints")
-    full = _dir_bytes(os.path.join(root, "batch=-1", "remaining"))
+    full = _dir_bytes(os.path.join(root, "batch=-1", "state"))
     assert engine_run.batches >= 2
     for b in range(min(engine_run.batches, 7)):   # batch 7 is a full
         d = os.path.join(root, f"batch={b}")
