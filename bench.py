@@ -73,17 +73,22 @@ def bench_crawl(spark, sf: float, n_urls: int | None = None,
 
     ``repeats``: the crawl runs ``repeats`` times into fresh output
     dirs and the fastest run is reported (all runs recorded in
-    ``all_secs``). The first run also warms JVM codegen and Python
-    workers; best-of-N additionally guards against the rig's ambient
-    host-contention windows (measured ±25% on all-core stages with an
-    idle guest — see BASELINE.md variance attribution)."""
+    ``all_secs``, with the 1-minute load average sampled before each
+    run in ``loadavg`` — ambient-contention evidence). The first run
+    also warms JVM codegen and Python workers; best-of-N additionally
+    guards against the rig's ambient host-contention windows (measured
+    ±25% on all-core stages with an idle guest — see BASELINE.md
+    variance attribution). Override with SPARK_GRAFT_CRAWL_REPEATS."""
     from ftw_crawler_spark.plans.crawl import run_crawl
+    repeats = int(os.environ.get("SPARK_GRAFT_CRAWL_REPEATS", repeats))
     n_urls = n_urls or max(2_000, int(200_000 * sf))
     batch_seconds = batch_seconds or max(600.0, n_urls * 0.025)
     world = _ensure_world(spark, n_urls)
     all_secs = []
+    loads = []
     best = None
     for _ in range(max(1, repeats)):
+        loads.append(round(os.getloadavg()[0], 2))
         out = tempfile.mkdtemp(prefix="ftw_bench_crawl_")
         try:
             t0 = time.perf_counter()
@@ -104,6 +109,7 @@ def bench_crawl(spark, sf: float, n_urls: int | None = None,
                if isinstance(m.get("indexed"), int))
     return {"urls": urls, "indexed_total": n_indexed,
             "sec": round(sec, 3), "all_secs": all_secs,
+            "loadavg": loads,
             "urls_per_sec": round(urls / sec, 2) if sec > 0 else 0.0,
             "n_urls_world": n_urls, "batches": result.batches}
 

@@ -255,6 +255,38 @@ def test_resume_ignores_uncommitted_checkpoint(spark, world, engine_run,
     assert a == b
 
 
+def test_resume_reads_legacy_two_file_checkpoint(spark, world,
+                                                 engine_run,
+                                                 tmp_path_factory):
+    """Checkpoints written by the pre-combined-write layout (separate
+    remaining/ + host_state/ parquet dirs, marker body 'ok') must
+    still resume — a long crawl can crash mid-upgrade."""
+    import os
+    import shutil
+
+    from ftw_crawler_spark.plans.crawl import _read_ckpt
+
+    out = str(tmp_path_factory.mktemp("legacy"))
+    run_crawl(spark, world, out, crawl_time=CRAWL_TIME,
+              batch_seconds=5.0, max_batches=1)
+    d = os.path.join(out, "checkpoints", "batch=-1")
+    remaining, host_state = _read_ckpt(spark, out + "/checkpoints", -1)
+    remaining = remaining.localCheckpoint()       # read before rewrite
+    host_state = host_state.localCheckpoint()
+    shutil.rmtree(os.path.join(d, "state"))
+    remaining.write.parquet(os.path.join(d, "remaining"))
+    host_state.write.parquet(os.path.join(d, "host_state"))
+    with open(os.path.join(d, "_COMMIT"), "w") as fh:
+        fh.write("ok")                            # legacy marker body
+    resumed = run_crawl(spark, world, out, crawl_time=CRAWL_TIME,
+                        batch_seconds=5.0, resume=True)
+    a = {(r["url"], r["crawl_seq"]) for r in
+         _crawled(engine_run).select("url", "crawl_seq").collect()}
+    b = {(r["url"], r["crawl_seq"]) for r in
+         _crawled(resumed).select("url", "crawl_seq").collect()}
+    assert a == b
+
+
 def test_priority_mode_same_final_state(spark, world, engine_run,
                                         tmp_path_factory):
     """Priority-queue scheduling changes WHICH rows enter each batch,
