@@ -62,7 +62,7 @@ def _ensure_world(spark, n_urls: int) -> str:
 
 def bench_crawl(spark, sf: float, n_urls: int | None = None,
                 batch_seconds: float | None = None,
-                repeats: int = 2) -> dict:
+                repeats: int = 3) -> dict:
     """Headline: full pipeline throughput, world-gen excluded.
 
     ``batch_seconds`` (the simulated politeness wall-budget per
