@@ -255,6 +255,29 @@ def test_resume_ignores_uncommitted_checkpoint(spark, world, engine_run,
     assert a == b
 
 
+def test_relation_bloom_path_same_final_state(spark, world, engine_run,
+                                              tmp_path_factory,
+                                              monkeypatch):
+    """Force the seen filter down the (shard, bits) relation serving
+    path (the 10^10-URL form — no driver bytes, cogrouped probe) for a
+    whole crawl: the final index must be identical to the broadcast
+    path's. Pins that the crawl plan itself, not just the unit split,
+    is serving-mode invariant."""
+    from ftw_crawler_spark.operators import seen
+
+    monkeypatch.setattr(seen, "BROADCAST_MAX_BYTES", 0)
+    out = str(tmp_path_factory.mktemp("relbloom"))
+    rel_run = run_crawl(spark, world, out, crawl_time=CRAWL_TIME,
+                        batch_seconds=5.0)
+    a = {(r["UID"], r["url"], r["crawl_seq"], r["batch_id"])
+         for r in _crawled(engine_run)
+         .select("UID", "url", "crawl_seq", "batch_id").collect()}
+    b = {(r["UID"], r["url"], r["crawl_seq"], r["batch_id"])
+         for r in _crawled(rel_run)
+         .select("UID", "url", "crawl_seq", "batch_id").collect()}
+    assert a == b
+
+
 def test_resume_reads_legacy_two_file_checkpoint(spark, world,
                                                  engine_run,
                                                  tmp_path_factory):
