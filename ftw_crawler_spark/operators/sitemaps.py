@@ -233,9 +233,13 @@ def _discover(spark: SparkSession, sites: list, sitemaps: DataFrame):
     # (parsed entries, index children, not-found, bad-xml) — without a
     # materialization each branch re-runs the probe join + state-UDF
     # parse + min_by shuffle, which measured as the dominant cost of
-    # the whole frontier build. One eager local checkpoint runs
-    # discovery exactly once.
-    chosen = chosen.localCheckpoint(eager=True)
+    # the whole frontier build. One LAZY local checkpoint runs
+    # discovery exactly once: the failed-sites collect in
+    # discover_sitemaps is the first action over every branch and
+    # always runs, so it materializes the checkpoint as a side effect
+    # — an eager=True here would spend one extra standalone driver
+    # job on the same materialization.
+    chosen = chosen.localCheckpoint(eager=False)
     ok = chosen.filter(F.col("state") != "invalid")
     idx_children = (
         ok.filter(F.col("wants_index"))
