@@ -21,8 +21,13 @@ Two measurements, both reported:
   honest proxy for cluster scaling, and the number the ≥0.8 criterion
   is evaluated against.
 
-Usage: python tools/bench_scaling.py [n_urls]
+Usage: python tools/bench_scaling.py [n_urls] [--steady-only]
 Prints one JSON line with throughput at both levels + efficiencies.
+``--steady-only`` skips the pipeline phase so the whole measurement
+fits inside a short ambient-quiet window (the steady-state stage is
+the number the >=0.8 criterion is evaluated against; the pipeline
+phase is transparency-only and its sandbox ceiling is documented in
+BASELINE.md).
 """
 
 from __future__ import annotations
@@ -83,7 +88,9 @@ def run_level(cpus: int, n_urls: int, mode: str) -> dict:
 
 
 def main() -> int:
-    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
+    argv = [a for a in sys.argv[1:] if a != "--steady-only"]
+    steady_only = "--steady-only" in sys.argv[1:]
+    n_urls = int(argv[0]) if argv else 300_000
     # generate the world once so neither timed run pays for it
     env = dict(os.environ)
     env.update({"SPARK_GRAFT_CPUS": "32",
@@ -97,7 +104,9 @@ def main() -> int:
         env=env, cwd=REPO, check=True, capture_output=True)
 
     result: dict = {"n_urls": n_urls}
-    for mode, key in (("crawl", "pipeline"), ("extract", "steady_state")):
+    phases = (("extract", "steady_state"),) if steady_only else \
+        (("crawl", "pipeline"), ("extract", "steady_state"))
+    for mode, key in phases:
         r8 = run_level(8, n_urls, mode)
         r32 = run_level(32, n_urls, mode)
         sect = "crawl" if mode == "crawl" else "extract_stage"
