@@ -1068,31 +1068,116 @@ def _curation_pipeline(spark, sf_dir):
     return sampled.select("doc_id", "source", "pred_lang")
 
 
-@_q("token_counts", f"""
-SELECT doc_id,
-  len({_TOKS_SQL}) AS n_ws_tokens,
-  len(regexp_extract_all(text, '{ts.BPE_REGEX}')) AS n_bpe_tokens
-FROM documents
-""")
-def _token_counts(spark, sf_dir):
-    """Token counting: whitespace + BPE-ish regex pieces."""
-    return ts.token_counts(_t(spark, sf_dir, "documents"))
-
-
-@_q("doc_fingerprint", f"""
+@_q("token_fingerprint", f"""
 WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
 sh AS (SELECT doc_id, list_distinct(
          [t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1)]) AS shs
-       FROM toks WHERE len(t) >= 3)
-SELECT doc_id,
-  array_to_string(list_slice(list_sort(
-    [('0x'||substr(md5(s),1,15))::BIGINT for s in shs]), 1, 4), ':')
-    AS fingerprint
-FROM sh WHERE len(shs) > 0
+       FROM toks WHERE len(t) >= 3),
+fp AS (SELECT doc_id,
+         array_to_string(list_slice(list_sort(
+           [('0x'||substr(md5(s),1,15))::BIGINT for s in shs]), 1, 4), ':')
+           AS fingerprint
+       FROM sh WHERE len(shs) > 0)
+SELECT d.doc_id,
+  len({_TOKS_SQL}) AS n_ws_tokens,
+  len(regexp_extract_all(text, '{ts.BPE_REGEX}')) AS n_bpe_tokens,
+  fp.fingerprint
+FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
 """)
-def _fingerprint(spark, sf_dir):
-    """Bottom-k sketch fingerprint (rolling-document signature)."""
-    return ts.bottomk_fingerprint(_t(spark, sf_dir, "documents"))
+def _token_fingerprint(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish regex pieces) AND the
+    bottom-k sketch fingerprint (rolling-document signature), one wide
+    per-doc row — fingerprint NULL for docs under 3 tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    return ts.token_counts(docs).join(
+        ts.bottomk_fingerprint(docs), "doc_id", "left")
+
+
+# --- link graph ---------------------------------------------------------------
+
+_LG_DAMP = 0.85
+
+
+def _linkgraph_sql(n_iter: int = 3) -> str:
+    """PageRank unrolled to ``n_iter`` CTE generations over the
+    hash-derived edge relation — the same determinism contract as the
+    kmeans oracle: DECIMAL(28,12) cross-row sums, pure-double scalar
+    arithmetic in the exact expression order of the operator
+    (operators/linkgraph.py pagerank)."""
+    tele = "(1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)"
+    parts = [f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT doc_id FROM documents),
+links AS (
+  SELECT doc_id AS src,
+         {_MD5L.format("'e:' || doc_id || ':' || j")}
+           % (SELECT n FROM nn) AS dst
+  FROM documents, (SELECT unnest([0, 1, 2]) AS j)
+  WHERE j < {_MD5L.format("'n:' || doc_id")} % 4),
+edges AS (SELECT DISTINCT src, dst FROM links WHERE dst <> src),
+od AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+ind AS (SELECT dst, count(*) AS ind FROM edges GROUP BY dst),
+pr0 AS (SELECT doc_id AS node, 1.0::DOUBLE / (SELECT n FROM nn) AS pr
+        FROM nodes)"""]
+    prev = "pr0"
+    for it in range(1, n_iter + 1):
+        parts.append(f""",
+dang{it} AS (
+  SELECT coalesce(sum(p.pr::DECIMAL(28,12)), 0)::DOUBLE AS dm
+  FROM {prev} p LEFT JOIN od ON p.node = od.src WHERE od.src IS NULL),
+c{it} AS (
+  SELECT e.dst AS node, sum((p.pr / o.od)::DECIMAL(28,12))::DOUBLE AS cs
+  FROM {prev} p JOIN edges e ON p.node = e.src JOIN od o ON o.src = e.src
+  GROUP BY e.dst),
+pr{it} AS (
+  SELECT nd.doc_id AS node,
+         {tele} + 0.85::DOUBLE * (coalesce(c{it}.cs, 0.0::DOUBLE)
+           + (SELECT dm FROM dang{it}) / (SELECT n FROM nn)) AS pr
+  FROM nodes nd LEFT JOIN c{it} ON c{it}.node = nd.doc_id)""")
+        prev = f"pr{it}"
+    parts.append(f"""
+SELECT p.node AS doc_id,
+  coalesce(od.od, 0) AS out_deg, coalesce(ind.ind, 0) AS in_deg,
+  round(p.pr, 6) AS pr_r6
+FROM {prev} p LEFT JOIN od ON od.src = p.node
+     LEFT JOIN ind ON ind.dst = p.node""")
+    return "".join(parts)
+
+
+@_q("linkgraph_pagerank", _linkgraph_sql())
+def _linkgraph_pagerank(spark, sf_dir):
+    """Link-graph centrality as a corpus-quality signal (new surface —
+    the reference is sitemap-driven and never parses anchors): degrees
+    + 3-round PageRank over a deterministic hash-derived edge relation
+    on ``documents`` (each doc links to 0-3 md5-derived neighbors).
+    The anchor-EXTRACTION half of the family (a DOM parse, not
+    SQL-expressible) is pinned by tests/test_linkgraph.py; this query
+    bit-checks the iterative numeric core against the unrolled oracle
+    CTEs — decimal-exact contribution sums, uniform dangling
+    redistribution, one shuffle per round."""
+    from ftw_crawler_spark.operators import linkgraph as lg
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    did = F.col("doc_id").cast("string")
+    n_links = F.pmod(dedup.md5_long(F.concat(F.lit("n:"), did)), F.lit(4))
+    links = (docs
+             .withColumn("__nl", n_links)
+             .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(2))))
+             .filter(F.col("j") < F.col("__nl"))
+             .select(F.col("doc_id").alias("src"),
+                     F.pmod(dedup.md5_long(F.concat(
+                         F.lit("e:"), did, F.lit(":"),
+                         F.col("j").cast("string"))),
+                         F.lit(n)).alias("dst")))
+    edges = links.filter(F.col("src") != F.col("dst")).distinct() \
+        .localCheckpoint(eager=False)
+    nodes = docs.withColumnRenamed("doc_id", "node")
+    deg = lg.degrees(nodes, edges, "node", src="src", dst="dst")
+    pr = lg.pagerank(nodes, edges, "node", src="src", dst="dst",
+                     n_iter=3, damping=_LG_DAMP)
+    return (deg.join(pr, "node")
+            .select(F.col("node").alias("doc_id"), "out_deg", "in_deg",
+                    F.round("pr", 6).alias("pr_r6")))
 
 
 # --- similarity search ------------------------------------------------------

@@ -1,0 +1,176 @@
+"""Link-graph family: outlink extraction, degrees, PageRank.
+
+The extraction semantics (href resolution, scheme filtering,
+``<base href>``, per-row isolation) are pinned here because a DuckDB
+oracle cannot run lxml; pagerank's numeric semantics are pinned
+against a hand-rolled plain-Python power method (the bit-exact
+cross-engine check is the driver's ``linkgraph_pagerank`` query).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftw_crawler_spark.operators.linkgraph import (
+    build_edges, degrees, extract_outlinks, pagerank, parse_outlinks)
+
+
+PAGE = b"""<!DOCTYPE html><html><head><title>t</title></head><body>
+<a href="http://other.example.org/abs">Abs  Link</a>
+<a href="/rooted/path">rooted</a>
+<a href="sibling.html">sib</a>
+<a href="?q=1">query only</a>
+<a href="../up/">up</a>
+<a href="#frag-only">skip me</a>
+<a href="http://x.example.com/page#frag">frag stripped</a>
+<a href="mailto:a@example.com">mail</a>
+<a href="javascript:void(0)">js</a>
+<a href="tel:+41123">tel</a>
+<a href="ftp://files.example.com/f">ftp</a>
+<a name="no-href">anchor without href</a>
+<a href="   ">blank</a>
+<a href="/dup">one</a>
+<a href="/dup">two</a>
+</body></html>"""
+
+BASE_PAGE = b"""<html><head><base href="http://cdn.example.net/assets/">
+</head><body><a href="img/x.html">via base</a>
+<a href="/root">rooted ignores base path but keeps its host</a>
+</body></html>"""
+
+
+class TestParseOutlinks:
+    def test_resolution_and_filtering(self):
+        got = parse_outlinks(PAGE, "http://site.example.com/a/b/page.html")
+        urls = [u for u, _ in got]
+        assert urls == [
+            "http://other.example.org/abs",
+            "http://site.example.com/rooted/path",
+            "http://site.example.com/a/b/sibling.html",
+            "http://site.example.com/a/b/page.html?q=1",
+            "http://site.example.com/a/up/",
+            "http://x.example.com/page",      # fragment stripped
+            "http://site.example.com/dup",    # duplicates kept
+            "http://site.example.com/dup",
+        ]
+
+    def test_anchor_text_whitespace_collapsed(self):
+        got = parse_outlinks(PAGE, "http://s.example.com/")
+        assert got[0][1] == "Abs Link"
+
+    def test_base_href(self):
+        got = parse_outlinks(BASE_PAGE, "http://site.example.com/page")
+        assert got[0][0] == "http://cdn.example.net/assets/img/x.html"
+        # a rooted href resolves against the BASE host, not the page's
+        assert got[1][0] == "http://cdn.example.net/root"
+
+    def test_garbage_and_empty_isolated(self):
+        assert parse_outlinks(None, "http://x.example.com/") == []
+        assert parse_outlinks(b"", "http://x.example.com/") == []
+        assert parse_outlinks(b"\x00\xff\xfe garbage", None) == []
+
+
+class TestExtractOutlinks:
+    def test_explodes_and_isolates(self, spark):
+        rows = [
+            ("http://a.example.com/", PAGE),
+            ("http://b.example.com/", None),          # no body: 0 rows
+            ("http://c.example.com/", b"<html><body>"
+             b'<a href="/only">x</a></body></html>'),
+        ]
+        pages = spark.createDataFrame(rows, "url string, html binary")
+        links = extract_outlinks(pages).collect()
+        by_src = {}
+        for r in links:
+            by_src.setdefault(r.src_url, []).append(r.dst_url)
+        assert len(by_src["http://a.example.com/"]) == 8
+        assert "http://b.example.com/" not in by_src
+        assert by_src["http://c.example.com/"] == [
+            "http://c.example.com/only"]
+
+
+def _g(spark, edges):
+    return spark.createDataFrame(edges, "src string, dst string")
+
+
+def _nodes(spark, names):
+    return spark.createDataFrame([(x,) for x in names], "node string")
+
+
+def _py_pagerank(names, edges, n_iter=3, d=0.85):
+    """Plain-float reference power method with the same semantics as
+    the operator (uniform dangling redistribution, out-of-universe
+    landings dropped, sources outside the universe contribute
+    nothing)."""
+    n = len(names)
+    pr = {v: 1.0 / n for v in names}
+    out_deg = {}
+    for s, _t in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    for _ in range(n_iter):
+        dangling = sum(pr[v] for v in names if v not in out_deg)
+        contrib = {v: 0.0 for v in names}
+        for s, t in edges:
+            if s in pr and t in contrib:
+                contrib[t] += pr[s] / out_deg[s]
+        pr = {v: (1.0 - d) / n + d * (contrib[v] + dangling / n)
+              for v in names}
+    return pr
+
+
+class TestGraphOps:
+    def test_build_edges_drops_self_loops_and_dups(self, spark):
+        links = spark.createDataFrame(
+            [("a", "b"), ("a", "b"), ("a", "a"), ("b", "c")],
+            "src_url string, dst_url string")
+        got = sorted((r.src_url, r.dst_url)
+                     for r in build_edges(links).collect())
+        assert got == [("a", "b"), ("b", "c")]
+
+    def test_degrees_zero_filled_and_universe_bounded(self, spark):
+        nodes = _nodes(spark, ["a", "b", "c"])
+        edges = _g(spark, [("a", "b"), ("a", "c"), ("b", "c"),
+                           ("a", "http://unfetched.example.com/")])
+        got = {r.node: (r.out_deg, r.in_deg)
+               for r in degrees(nodes, edges, "node").collect()}
+        assert got == {"a": (3, 0), "b": (1, 1), "c": (0, 2)}
+
+    def test_pagerank_matches_reference_power_method(self, spark):
+        names = ["a", "b", "c", "d", "e"]
+        edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+                 ("d", "c"), ("e", "a"), ("e", "b"), ("e", "c")]
+        got = {r.node: r.pr for r in pagerank(
+            _nodes(spark, names), _g(spark, edges), "node").collect()}
+        want = _py_pagerank(names, edges)
+        assert set(got) == set(want)
+        for v in names:
+            assert got[v] == pytest.approx(want[v], abs=1e-9)
+        # every dst is internal and there are no dangling leaks:
+        # total mass is conserved
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_pagerank_dangling_redistributes(self, spark):
+        # b is a sink: its mass must spread uniformly, not vanish
+        names = ["a", "b", "c"]
+        edges = [("a", "b"), ("c", "b")]
+        got = {r.node: r.pr for r in pagerank(
+            _nodes(spark, names), _g(spark, edges), "node").collect()}
+        want = _py_pagerank(names, edges)
+        for v in names:
+            assert got[v] == pytest.approx(want[v], abs=1e-9)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+        assert got["b"] > got["a"]
+
+    def test_pagerank_partitioning_invariant(self, spark):
+        names = [f"n{i}" for i in range(40)]
+        edges = [(f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(40)
+                 for _ in (0,)] + \
+                [(f"n{i}", f"n{(i * 11 + 5) % 40}") for i in range(0, 40, 3)]
+        edges = [(s, t) for s, t in edges if s != t]
+        nodes1 = _nodes(spark, names)
+        e1 = _g(spark, edges)
+        a = {r.node: r.pr for r in pagerank(nodes1, e1, "node").collect()}
+        b = {r.node: r.pr for r in pagerank(
+            nodes1.repartition(7), e1.repartition(5), "node").collect()}
+        assert a == b  # bit-identical: decimal sums kill order effects

@@ -36,6 +36,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -87,6 +88,16 @@ def run_level(cpus: int, n_urls: int, mode: str) -> dict:
     return result
 
 
+def _wait_quiet(threshold: float = 0.6, max_wait: int = 240) -> None:
+    """Block until the 1-minute loadavg decays under ``threshold`` (or
+    ``max_wait`` seconds pass) so one phase's CPU exhaust is not billed
+    to the next phase's measurement."""
+    waited = 0
+    while waited < max_wait and os.getloadavg()[0] >= threshold:
+        time.sleep(15)
+        waited += 15
+
+
 def main() -> int:
     argv = [a for a in sys.argv[1:] if a != "--steady-only"]
     steady_only = "--steady-only" in sys.argv[1:]
@@ -107,8 +118,17 @@ def main() -> int:
     phases = (("extract", "steady_state"),) if steady_only else \
         (("crawl", "pipeline"), ("extract", "steady_state"))
     for mode, key in phases:
-        r8 = run_level(8, n_urls, mode)
+        # Measure the 32-thread level FIRST: host loadavg is 1-minute
+        # and includes each phase's own exhaust, and ambient load
+        # suppresses the 32-thread level far more than the 8-thread
+        # one (BASELINE.md contention evidence) — so the wide level
+        # gets the freshest window and the narrow level absorbs the
+        # residue it barely feels. _wait_quiet() between levels lets
+        # the previous phase's load decay instead of being billed to
+        # the next measurement.
         r32 = run_level(32, n_urls, mode)
+        _wait_quiet()
+        r8 = run_level(8, n_urls, mode)
         sect = "crawl" if mode == "crawl" else "extract_stage"
         ups8 = r8[sect]["urls_per_sec"]
         ups32 = r32[sect]["urls_per_sec"]
