@@ -17,6 +17,11 @@ in ftw/crawler), so this family is new surface designed Spark-first:
   ``<base href>``); non-fetchable schemes (mailto/javascript/tel/
   data) and pure-fragment hrefs are dropped; fragments are stripped
   (reference util parity not applicable — new surface).
+- ``discover_frontier``: the link-following discovery path (outlinks
+  → canonicalize → scope filter → sharded seen split + exact
+  anti-join) producing new crawl candidates with an in-reference
+  priority signal — the frontier-expansion move a webtext-scale
+  crawler makes that the sitemap-driven reference never needed.
 - ``degrees``: out/in degree per node — two aggregations with
   map-side combine and one outer join on the node key.
 - ``pagerank``: fixed-iteration power method. One shuffle per
@@ -45,6 +50,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ftw_crawler_spark.functions.urls import canonical_url_col
+from ftw_crawler_spark.operators import seen
 
 LINKS_SCHEMA = T.StructType([
     T.StructField("src_url", T.StringType()),
@@ -121,6 +129,53 @@ def extract_outlinks(pages: DataFrame, url_col: str = "url",
 
     return (pages.select(url_col, html_col)
             .mapInPandas(gen, schema=LINKS_SCHEMA))
+
+
+def discover_frontier(pages: DataFrame, known: DataFrame,
+                      url_col: str = "url", html_col: str = "html",
+                      known_url_col: str = "url",
+                      scope_hosts: DataFrame | None = None,
+                      expected_known: int | None = None) -> DataFrame:
+    """(loc, n_refs) — new crawl candidates found by following anchors.
+
+    The link-following discovery path the sitemap-driven reference has
+    no analog for (its frontier is exactly the sitemap urlset,
+    main.py:99-162): parse every page's outlinks, canonicalize them
+    (functions/urls.py — alias variants collapse BEFORE the seen
+    check), optionally keep only in-scope hosts, then drop everything
+    already known via the sharded bloom pre-filter + exact anti-join
+    (operators/seen.py — no false negatives; task memory O(shard) at
+    the 10^10-URL design point). ``n_refs`` is the candidate's
+    in-reference count within the scanned page set — a crawl-priority
+    signal (well-linked pages first), which is why the aggregation
+    happens here rather than a plain distinct.
+
+    Both sides of the membership check are compared in CANONICAL form,
+    so ``http://h/p#frag`` in a page never re-queues an already-crawled
+    ``http://h/p``. One shuffle (the groupBy) plus the seen split's
+    probe; the page bytes never leave the extraction tasks.
+    """
+    links = extract_outlinks(pages, url_col=url_col, html_col=html_col)
+    cand = (links
+            .select(canonical_url_col(F.col("dst_url")).alias("loc"))
+            .groupBy("loc").agg(F.count(F.lit(1)).alias("n_refs")))
+    if scope_hosts is not None:
+        hcol = scope_hosts.columns[0]
+        host = F.regexp_extract(F.col("loc"), r"^[a-z+.-]+://([^/?]*)", 1)
+        cand = (cand.withColumn("__host", host)
+                .join(F.broadcast(scope_hosts.select(
+                    F.lower(F.col(hcol)).alias("__host"))), "__host",
+                    "left_semi")
+                .drop("__host"))
+    known_urls = (known
+                  .select(canonical_url_col(F.col(known_url_col))
+                          .alias("url"))
+                  .distinct())
+    new, maybe = seen.split_by_index(cand, known_urls, "loc", "url",
+                                     expected_items=expected_known)
+    confirmed = maybe.join(
+        known_urls.select(F.col("url").alias("loc")), "loc", "left_anti")
+    return new.unionByName(confirmed)
 
 
 def build_edges(links: DataFrame, src: str = "src_url",

@@ -2,7 +2,7 @@
 
 The extraction semantics (href resolution, scheme filtering,
 ``<base href>``, per-row isolation) are pinned here because a DuckDB
-oracle cannot run lxml; pagerank's numeric semantics are pinned
+oracle cannot run a DOM parse; pagerank's numeric semantics are pinned
 against a hand-rolled plain-Python power method (the bit-exact
 cross-engine check is the driver's ``linkgraph_pagerank`` query).
 """
@@ -13,7 +13,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from ftw_crawler_spark.operators.linkgraph import (
-    build_edges, degrees, extract_outlinks, pagerank, parse_outlinks)
+    build_edges, degrees, discover_frontier, extract_outlinks, pagerank,
+    parse_outlinks)
 
 
 PAGE = b"""<!DOCTYPE html><html><head><title>t</title></head><body>
@@ -88,6 +89,59 @@ class TestExtractOutlinks:
         assert "http://b.example.com/" not in by_src
         assert by_src["http://c.example.com/"] == [
             "http://c.example.com/only"]
+
+
+DISCOVERY_PAGE = b"""<html><body>
+<a href="/new1">n1</a>
+<a href="/new1#frag">n1 alias via fragment</a>
+<a href="/new2?utm_source=z&q=1">n2 with tracking param</a>
+<a href="/known">already crawled</a>
+<a href="http://OTHER.example.org:80/x">offsite, host case + port</a>
+<a href="mailto:x@example.com">skip</a>
+</body></html>"""
+
+
+class TestDiscoverFrontier:
+    def _pages(self, spark):
+        return spark.createDataFrame(
+            [("http://site.example.com/a", DISCOVERY_PAGE)],
+            "url string, html binary")
+
+    def _known(self, spark):
+        return spark.createDataFrame(
+            [("http://site.example.com/known",),
+             ("http://site.example.com/a",)], "url string")
+
+    def test_new_canonical_candidates_with_ref_counts(self, spark):
+        got = {r.loc: r.n_refs for r in discover_frontier(
+            self._pages(spark), self._known(spark)).collect()}
+        # fragment alias collapses onto /new1 (2 refs), the tracking
+        # param is stripped from /new2, the known url and the page
+        # itself are excluded, the offsite host is canonicalized
+        # (lowercase, default port dropped) and kept without a scope
+        assert got == {"http://site.example.com/new1": 2,
+                       "http://site.example.com/new2?q=1": 1,
+                       "http://other.example.org/x": 1}
+
+    def test_scope_hosts_restricts(self, spark):
+        scope = spark.createDataFrame([("site.example.com",)],
+                                      "host string")
+        got = {r.loc for r in discover_frontier(
+            self._pages(spark), self._known(spark),
+            scope_hosts=scope).collect()}
+        assert got == {"http://site.example.com/new1",
+                       "http://site.example.com/new2?q=1"}
+
+    def test_known_aliases_never_requeue(self, spark):
+        # the known set is given in NON-canonical form; membership is
+        # still caught because both sides canonicalize
+        known = spark.createDataFrame(
+            [("HTTP://site.example.com:80/known",),
+             ("http://site.example.com/a#top",)], "url string")
+        got = {r.loc for r in discover_frontier(
+            self._pages(spark), known).collect()}
+        assert "http://site.example.com/known" not in got
+        assert "http://site.example.com/new1" in got
 
 
 def _g(spark, edges):
