@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from dataclasses import dataclass, field
 from datetime import datetime
@@ -241,6 +242,7 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
             spark, ckpt_root, committed)
         metrics = meta.get("metrics", [])
         start_batch = last + 1
+        ckpt_writer = None
     else:
         crawl_time = crawl_time or DEFAULT_CRAWL_TIME
         with open(meta_path, "w") as fh:
@@ -274,11 +276,15 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
         ok_sdf = sites_df(
             spark, [s for s in sites if s.site_id not in failed_ids])
         purged = purge_candidates(sink.current(), ok_sdf, frontier)
-        sink.append_deletes(purged, batch_id=start_batch)
-        # the purge job materialized the frontier cache — the parsed-
-        # entries intermediate build_frontier persisted is now redundant
-        for df in scratch:
-            df.unpersist()
+        # the tombstone write touches only the sink's delta dir while
+        # the annotation below reads only the PRE-RUN base snapshot
+        # (reference semantics: this run's writes are invisible to
+        # is_modified) — the two jobs are independent, so the purge
+        # write runs in the background under the annotate job. The
+        # error-collect inside build_frontier already warmed the
+        # parsed-entries cache both jobs re-read.
+        purge_writer = _BgTask(sink.append_deletes, purged,
+                               start_batch)
         t_purge = time.perf_counter()
 
         if url:
@@ -292,6 +298,19 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
             force,
             expected_indexed=_parquet_rows(sink.base_path)).persist()
         to_crawl = annotated.filter(F.col("skip_reason").isNull())
+
+        # materialize the frontier ONCE executor-side (this scan also
+        # fills the annotated cache end-to-end, so the skip-metrics
+        # count below is a cheap cached pass, not the materializing
+        # job) and hand the parquet snapshot write to a background
+        # thread: the batch-0 schedule consumes the identical
+        # localCheckpointed rows (bit-equality with the disk
+        # round-trip is pinned by the resume/oracle-order tests), so
+        # the frontier-sized write + its commit happen while batch 0
+        # is already crawling. Exactly one writer is ever outstanding
+        # (joined before the next checkpoint write), so markers still
+        # appear in batch order.
+        remaining = to_crawl.localCheckpoint(eager=True)
         skips = {r["skip_reason"]: r["n"] for r in
                  annotated.filter(F.col("skip_reason").isNotNull())
                  .groupBy("skip_reason").count()
@@ -303,15 +322,20 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                         "sec_annotate":
                         round(time.perf_counter() - t_purge, 3)})
 
-        remaining = to_crawl
         # robots Crawl-delay (de-facto REP extension) raises a host's
         # effective sleeptime above the site config's value
         delays = (robots.robots_crawl_delays(world["robots"])
                   if world.get("robots") is not None else None)
-        host_state = politeness.initial_host_state(remaining, sdf,
-                                                   crawl_delays=delays)
-        _write_ckpt(ckpt_root, -1, remaining, host_state)
-        remaining, host_state = _read_ckpt(spark, ckpt_root, -1)
+        host_state = politeness.initial_host_state(
+            remaining, sdf, crawl_delays=delays).localCheckpoint(
+                eager=True)
+        ckpt_writer = _BgTask(_write_ckpt, ckpt_root, -1,
+                              remaining, host_state)
+        purge_writer.join()
+        # both consumers of the parsed-entries intermediate (purge,
+        # annotate) are done — drop it with the frontier caches
+        for df in scratch:
+            df.unpersist()
         annotated.unpersist()
         frontier.unpersist()
         last_full = -1
@@ -378,24 +402,35 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
             compacted = True
 
         host_state = politeness.updated_host_state(
-            host_state, batch.filter(F.col("n_429") > 0))
+            host_state, batch.filter(F.col("n_429") > 0)
+        ).localCheckpoint(eager=True)
+        if ckpt_writer is not None:
+            # one writer outstanding at a time: batch K's checkpoint is
+            # committed before batch K+1's is written, so the on-disk
+            # marker sequence never has gaps (resume's delta replay
+            # assumes a committed prefix)
+            ckpt_writer.join()
         if batch_id - last_full >= ckpt_full_every:
-            # periodic full snapshot: truncates the anti-join lineage
-            # chain and re-anchors resume
-            remaining = remaining.join(batch.select("crawl_seq"),
-                                       "crawl_seq", "left_anti")
-            _write_ckpt(ckpt_root, batch_id, remaining, host_state)
-            remaining, host_state = _read_ckpt(spark, ckpt_root,
-                                               batch_id)
+            # periodic full snapshot: the localCheckpoint truncates the
+            # anti-join lineage chain executor-side; the frontier-sized
+            # parquet write + commit happen in the background while the
+            # next batch crawls (the write reads the checkpointed
+            # blocks, not the lineage)
+            remaining = remaining.join(
+                batch.select("crawl_seq"), "crawl_seq", "left_anti"
+            ).localCheckpoint(eager=True)
+            ckpt_writer = _BgTask(_write_ckpt, ckpt_root, batch_id,
+                                      remaining, host_state)
             last_full = batch_id
         else:
             # delta checkpoint: bytes proportional to the batch, not
-            # the frontier — the anti-join reads the delta back from
-            # disk so lineage stays a short chain of file scans
-            _write_delta_ckpt(ckpt_root, batch_id,
-                              batch.select("crawl_seq"), host_state)
-            processed, host_state = _read_delta_ckpt(
-                spark, ckpt_root, batch_id)
+            # the frontier — the next schedule anti-joins the
+            # checkpointed processed set in memory while the delta
+            # file + commit marker are written in the background
+            processed = batch.select("crawl_seq").localCheckpoint(
+                eager=True)
+            ckpt_writer = _BgTask(_write_delta_ckpt, ckpt_root,
+                                      batch_id, processed, host_state)
             remaining = remaining.join(processed, "crawl_seq",
                                        "left_anti")
         metrics.append({"batch": batch_id, "admitted": admitted,
@@ -415,8 +450,34 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
         batch_id += 1
         n_batches += 1
 
+    if ckpt_writer is not None:
+        ckpt_writer.join()
     return CrawlResult(out_dir=out_dir, batches=batch_id,
                        metrics=metrics, sink=sink)
+
+
+class _BgTask:
+    """Background write task: runs one write call (checkpoint or sink
+    delta) on a thread so the parquet write + commit overlap the next
+    phase's work, re-raising any failure at ``join()`` (a silently
+    lost write would break crash-resume / the purge contract)."""
+
+    def __init__(self, fn, *args):
+        self._exc = None
+
+        def run():
+            try:
+                fn(*args)
+            except BaseException as exc:   # noqa: BLE001 — re-raised
+                self._exc = exc
+
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+
+    def join(self):
+        self._t.join()
+        if self._exc is not None:
+            raise self._exc
 
 
 def _parquet_rows(d: str) -> int:
