@@ -29,8 +29,9 @@ in ftw/crawler), so this family is new surface designed Spark-first:
   DECIMAL(28,12) so the result is bit-reproducible cross-engine
   (double sums are order-dependent; decimal sums are not — the same
   trick that makes ``similarity.kmeans_refine`` oracle-exact);
-  dangling mass is collected as ONE scalar per iteration (bounded
-  driver traffic, same posture as the K·dim centroid collect);
+  dangling mass stays in the plan as a broadcast 1-row aggregate
+  (no per-iteration driver round-trip — the whole ``n_iter`` loop is
+  ONE lazy plan evaluated by the final action);
   per-round ``localCheckpoint(eager=False)`` keeps lineage flat so
   round t+1 never replays rounds 1..t.
 
@@ -236,13 +237,21 @@ def pagerank(nodes: DataFrame, edges: DataFrame, node_col: str,
     linked = out_deg.select(F.col(src).alias("__s2"), "__od")
     pr = base.withColumn("__pr", F.lit(1.0 / n))
     for _ in range(n_iter):
+        # dangling mass stays IN the plan as a broadcast 1-row scalar
+        # (the oracle's ``(SELECT dm FROM dang)`` shape) — no
+        # per-iteration collect: at cluster scale a collect is a full
+        # stage barrier + driver round-trip every round, and the value
+        # is only ever consumed by the next round's expression. The
+        # decimal sum → double cast → double divide sequence is
+        # identical to the old driver-side float() path, so results
+        # stay bit-equal.
         with_od = pr.join(linked, pr[node_col] == F.col("__s2"),
                           "left")
-        row = (with_od.filter(F.col("__od").isNull())
-               .agg(F.sum(F.col("__pr").cast("decimal(28,12)"))
-                    .alias("dm"))
-               .collect()[0])
-        dangling = float(row["dm"] or 0.0)
+        dang = (with_od.filter(F.col("__od").isNull())
+                .agg(F.coalesce(
+                    F.sum(F.col("__pr").cast("decimal(28,12)")),
+                    F.lit(0).cast("decimal(28,12)"))
+                    .cast("double").alias("__dang")))
         contrib = (pr.join(fan, pr[node_col] == F.col("__s"))
                    .select(F.col("__d").alias(node_col),
                            (F.col("__pr") / F.col("__od"))
@@ -250,10 +259,12 @@ def pagerank(nodes: DataFrame, edges: DataFrame, node_col: str,
         summed = (contrib.groupBy(node_col)
                   .agg(F.sum("__c").cast("double").alias("__cs")))
         pr = (base.join(summed, node_col, "left")
+              .crossJoin(F.broadcast(dang))
               .select(node_col,
                       (F.lit((1.0 - damping) / n)
                        + F.lit(damping)
                        * (F.coalesce(F.col("__cs"), F.lit(0.0))
-                          + F.lit(dangling / n))).alias("__pr"))
+                          + F.col("__dang") / F.lit(float(n))))
+                      .alias("__pr"))
               .localCheckpoint(eager=False))
     return pr.select(node_col, F.col("__pr").alias("pr"))
