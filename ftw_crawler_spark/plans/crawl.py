@@ -342,27 +342,64 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
         start_batch = 0
 
     sdf = sites_df(spark, sites)
+    def _schedule(rem, hs):
+        """Materialize one politeness batch plus its admission metric:
+        ONE job fills the cache AND yields both the admitted total and
+        the per-host lineage metric (north rule) — the per-batch
+        driver latency budget is the sandbox bottleneck, so every
+        folded job counts. Runs on the prefetch thread: batch N+1's
+        schedule is a pure function of (remaining, host_state) after
+        batch N's admission, both of which are known before batch N
+        extracts — so the schedule job overlaps the extraction job."""
+        b = politeness.select_batch(rem, hs, batch_seconds,
+                                    order_mode=order_mode).cache()
+        ph = {r["host"]: r["n"] for r in
+              b.groupBy("host").agg(
+                  F.count(F.lit(1)).alias("n")).collect()}
+        return b, ph
+
     batch_id = start_batch
     n_batches = 0
+    pending = _BgTask(_schedule, remaining, host_state)
+    batch = None
     while True:
         if max_batches is not None and n_batches >= max_batches:
+            # drain the outstanding prefetch so no schedule job runs
+            # past the return
+            b, _ph = pending.join()
+            b.unpersist()
             break
         t0 = time.perf_counter()
-        batch = politeness.select_batch(remaining, host_state,
-                                        batch_seconds,
-                                        order_mode=order_mode).cache()
-        # ONE job materializes the cache AND yields both the admitted
-        # total and the per-host lineage metric (north rule) — the
-        # per-batch driver latency budget is the sandbox bottleneck,
-        # so every folded job counts
-        per_host = {r["host"]: r["n"] for r in
-                    batch.groupBy("host").agg(
-                        F.count(F.lit(1)).alias("n")).collect()}
+        batch, per_host = pending.join()
         admitted = sum(per_host.values())
         if admitted == 0:
             # empty schedule ⇒ remaining frontier is exhausted (capacity
             # is ≥1 per host, so a non-empty frontier always admits rows)
+            batch.unpersist()
             break
+
+        # state transition first — it is a pure function of batch N
+        # (politeness 429 doubling + the processed-set anti-join), and
+        # publishing it now lets batch N+1's schedule compute on the
+        # prefetch thread WHILE batch N extracts below. The tiny
+        # localCheckpoints pin the exact rows both the prefetch and
+        # the background checkpoint writer consume.
+        host_state = politeness.updated_host_state(
+            host_state, batch.filter(F.col("n_429") > 0)
+        ).localCheckpoint(eager=True)
+        is_full = batch_id - last_full >= ckpt_full_every
+        if is_full:
+            remaining = remaining.join(
+                batch.select("crawl_seq"), "crawl_seq", "left_anti"
+            ).localCheckpoint(eager=True)
+            processed = None
+            last_full = batch_id
+        else:
+            processed = batch.select("crawl_seq").localCheckpoint(
+                eager=True)
+            remaining = remaining.join(processed, "crawl_seq",
+                                       "left_anti")
+        pending = _BgTask(_schedule, remaining, host_state)
         t_sched = time.perf_counter()
 
         resources = _batch_resources(batch, world, sdf)
@@ -401,38 +438,28 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
             sink.compact()
             compacted = True
 
-        host_state = politeness.updated_host_state(
-            host_state, batch.filter(F.col("n_429") > 0)
-        ).localCheckpoint(eager=True)
         if ckpt_writer is not None:
             # one writer outstanding at a time: batch K's checkpoint is
             # committed before batch K+1's is written, so the on-disk
             # marker sequence never has gaps (resume's delta replay
             # assumes a committed prefix)
             ckpt_writer.join()
-        if batch_id - last_full >= ckpt_full_every:
-            # periodic full snapshot: the localCheckpoint truncates the
-            # anti-join lineage chain executor-side; the frontier-sized
-            # parquet write + commit happen in the background while the
-            # next batch crawls (the write reads the checkpointed
-            # blocks, not the lineage)
-            remaining = remaining.join(
-                batch.select("crawl_seq"), "crawl_seq", "left_anti"
-            ).localCheckpoint(eager=True)
+        if is_full:
+            # periodic full snapshot: the localCheckpoint (taken at the
+            # state transition above) truncates the anti-join lineage
+            # chain executor-side; the frontier-sized parquet write +
+            # commit happen in the background while the next batch
+            # crawls (the write reads the checkpointed blocks, not the
+            # lineage)
             ckpt_writer = _BgTask(_write_ckpt, ckpt_root, batch_id,
-                                      remaining, host_state)
-            last_full = batch_id
+                                  remaining, host_state)
         else:
             # delta checkpoint: bytes proportional to the batch, not
-            # the frontier — the next schedule anti-joins the
+            # the frontier — the prefetch thread anti-joined the same
             # checkpointed processed set in memory while the delta
-            # file + commit marker are written in the background
-            processed = batch.select("crawl_seq").localCheckpoint(
-                eager=True)
+            # file + commit marker write in the background
             ckpt_writer = _BgTask(_write_delta_ckpt, ckpt_root,
-                                      batch_id, processed, host_state)
-            remaining = remaining.join(processed, "crawl_seq",
-                                       "left_anti")
+                                  batch_id, processed, host_state)
         metrics.append({"batch": batch_id, "admitted": admitted,
                         "indexed": indexed, "compacted": compacted,
                         "per_host_admitted": per_host,
@@ -457,17 +484,19 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
 
 
 class _BgTask:
-    """Background write task: runs one write call (checkpoint or sink
-    delta) on a thread so the parquet write + commit overlap the next
-    phase's work, re-raising any failure at ``join()`` (a silently
-    lost write would break crash-resume / the purge contract)."""
+    """Background task: runs one call (a checkpoint/sink write, or the
+    next batch's schedule job) on a thread so it overlaps the current
+    phase's work; ``join()`` returns the call's result and re-raises
+    any failure (a silently lost write would break crash-resume / the
+    purge contract)."""
 
     def __init__(self, fn, *args):
         self._exc = None
+        self._result = None
 
         def run():
             try:
-                fn(*args)
+                self._result = fn(*args)
             except BaseException as exc:   # noqa: BLE001 — re-raised
                 self._exc = exc
 
@@ -478,6 +507,7 @@ class _BgTask:
         self._t.join()
         if self._exc is not None:
             raise self._exc
+        return self._result
 
 
 def _parquet_rows(d: str) -> int:
