@@ -1077,20 +1077,38 @@ fp AS (SELECT doc_id,
          array_to_string(list_slice(list_sort(
            [('0x'||substr(md5(s),1,15))::BIGINT for s in shs]), 1, 4), ':')
            AS fingerprint
-       FROM sh WHERE len(shs) > 0)
+       FROM sh WHERE len(shs) > 0),
+pk AS (SELECT doc_id,
+         ({_MD5L.format("'g:' || doc_id")}) % 8 AS grp,
+         {_MD5L.format("'o:' || doc_id")} AS ord,
+         len({_TOKS_SQL}) AS nt FROM documents),
+shard AS (SELECT doc_id, grp,
+         CAST(floor(coalesce(sum(nt) OVER (
+           PARTITION BY grp ORDER BY ord, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / 4096) AS BIGINT) AS shard_idx
+       FROM pk)
 SELECT d.doc_id,
   len({_TOKS_SQL}) AS n_ws_tokens,
   len(regexp_extract_all(text, '{ts.BPE_REGEX}')) AS n_bpe_tokens,
-  fp.fingerprint
-FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
+  fp.fingerprint, shard.grp, shard.shard_idx
+FROM documents d
+LEFT JOIN fp ON fp.doc_id = d.doc_id
+JOIN shard ON shard.doc_id = d.doc_id
 """)
 def _token_fingerprint(spark, sf_dir):
-    """Token counting (whitespace + BPE-ish regex pieces) AND the
-    bottom-k sketch fingerprint (rolling-document signature), one wide
-    per-doc row — fingerprint NULL for docs under 3 tokens."""
+    """Token counting (whitespace + BPE-ish regex pieces), the bottom-k
+    sketch fingerprint (rolling-document signature), AND the
+    token-budget corpus shard assignment (pack_token_shards: md5 hash
+    group -> within-group window prefix sum -> floor(prefix/budget) —
+    the corpus-writer step, no global order), one wide per-doc row —
+    fingerprint NULL for docs under 3 tokens."""
     docs = _t(spark, sf_dir, "documents")
-    return ts.token_counts(docs).join(
-        ts.bottomk_fingerprint(docs), "doc_id", "left")
+    return (ts.token_counts(docs)
+            .join(ts.bottomk_fingerprint(docs), "doc_id", "left")
+            .join(ts.pack_token_shards(docs, budget_tokens=4096,
+                                       n_groups=8)
+                  .select("doc_id", "grp", "shard_idx"), "doc_id"))
 
 
 # --- link graph ---------------------------------------------------------------

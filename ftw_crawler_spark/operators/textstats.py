@@ -15,7 +15,7 @@ sketch string, which is uniform by construction (md5).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ftw_crawler_spark.operators.dedup import (md5_long, shingles_col,
@@ -147,6 +147,45 @@ def length_histogram(docs: DataFrame, text_col: str = "text",
             .groupBy("bucket_lo")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("__n").alias("sum_tokens")))
+
+
+def pack_token_shards(docs: DataFrame, budget_tokens: int,
+                      n_groups: int = 64, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, grp, shard_idx): deterministic assignment of
+    every doc to a fixed-token-budget output shard — the corpus-writer
+    step of a training-data pipeline (each (grp, shard_idx) becomes
+    one output file of ~``budget_tokens`` whitespace tokens, e.g. via
+    ``partitionBy("grp", "shard_idx")`` on the writer).
+
+    No global total order — the classic scale trap (a corpus-wide sort
+    funnels 100 TB through one ordered partition chain). Docs first
+    route to one of ``n_groups`` hash groups (md5 of the id:
+    deterministic, SQL-reproducible), then pack WITHIN each group in
+    md5-pseudo-random order by a window cumulative sum:
+    ``shard_idx = floor(exclusive_prefix_tokens / budget)``. Groups
+    pack independently — ONE shuffle on grp, each window partition
+    holds corpus/n_groups rows; size n_groups so a group's token mass
+    sorts comfortably in one task (e.g. 100 TB at 4 GB/group needs
+    ~25k groups). A doc longer than the budget overflows its shard
+    (spillover semantics: a shard is never split mid-doc, so shards
+    hold ≥1 doc and at most budget+max_doc-1 tokens).
+
+    Deterministic in (doc ids, token counts) alone — never in
+    partitioning or task order (pinned by test_textstats)."""
+    n_tokens = F.size(tokens_col(text_col)).cast("long")
+    grp = (md5_long(F.concat(F.lit("g:"), F.col(id_col)))
+           % F.lit(n_groups)).cast("long")
+    order = md5_long(F.concat(F.lit("o:"), F.col(id_col)))
+    w = (Window.partitionBy("grp").orderBy("__ord", id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (docs.select(F.col(id_col), n_tokens.alias("n_tokens"),
+                        grp.alias("grp"), order.alias("__ord"))
+            .withColumn("__cum",
+                        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+            .select(id_col, "n_tokens", "grp",
+                    F.floor(F.col("__cum") / F.lit(budget_tokens))
+                    .cast("long").alias("shard_idx")))
 
 
 def bottomk_fingerprint(docs: DataFrame, text_col: str = "text",

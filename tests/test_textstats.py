@@ -30,3 +30,53 @@ def test_length_histogram_buckets(spark):
     got = {r["bucket_lo"]: (r["n_docs"], r["sum_tokens"])
            for r in ts.length_histogram(df).collect()}
     assert got == {0: (1, 10), 64: (2, 170)}
+
+
+def _pack_docs(spark, n=60, tokens_each=50):
+    rows = [(i, " ".join(f"t{j}" for j in range(tokens_each)))
+            for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_token_shards_budget_and_spillover(spark):
+    docs = _pack_docs(spark, n=60, tokens_each=50)
+    out = ts.pack_token_shards(docs, budget_tokens=120, n_groups=4)
+    rows = out.collect()
+    assert len(rows) == 60 and all(r["n_tokens"] == 50 for r in rows)
+    # per (grp, shard): total tokens < budget + max_doc (spillover
+    # bound) and shard indexes within a group are contiguous from 0
+    by_shard: dict = {}
+    by_grp: dict = {}
+    for r in rows:
+        by_shard.setdefault((r["grp"], r["shard_idx"]), 0)
+        by_shard[(r["grp"], r["shard_idx"])] += r["n_tokens"]
+        by_grp.setdefault(r["grp"], set()).add(r["shard_idx"])
+    assert all(tot < 120 + 50 for tot in by_shard.values())
+    for shards in by_grp.values():
+        assert shards == set(range(len(shards)))
+    # every shard except a group's last must have reached the budget
+    # (the next doc spilled over): >= budget - max_doc + 1 tokens
+    for grp, shards in by_grp.items():
+        for s in shards - {max(shards)}:
+            assert by_shard[(grp, s)] >= 120 - 50 + 1
+
+
+def test_pack_token_shards_deterministic(spark):
+    docs = _pack_docs(spark, n=40, tokens_each=7)
+    a = ts.pack_token_shards(docs, 30, n_groups=3).collect()
+    b = ts.pack_token_shards(docs.repartition(13), 30,
+                             n_groups=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pack_token_shards_oversize_doc_own_shard(spark):
+    # one doc larger than the budget: it overflows its shard, and the
+    # next doc in the same group starts a fresh shard
+    docs = spark.createDataFrame(
+        [(1, " ".join(["x"] * 500)), (2, "a b c")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["shard_idx"] for r in
+           ts.pack_token_shards(docs, 100, n_groups=1).collect()}
+    # big doc first: (0, floor(500/100)=5); small doc first: (0, 0)
+    # (the big doc overflows shard 0 — shards never split a doc)
+    assert (out[1], out[2]) in {(0, 5), (0, 0)}
