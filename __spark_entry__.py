@@ -834,6 +834,110 @@ def _text_length_histogram(spark, sf_dir):
     return ts.length_histogram(docs)
 
 
+@_q("text_gopher_rules", f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t,
+    list_filter(string_split(text, chr(10)), ln -> trim(ln) <> '') AS lns
+  FROM documents)
+SELECT doc_id,
+  len(t)::BIGINT AS n_words,
+  coalesce(list_aggregate(list_transform(t, x -> length(x)), 'sum'),
+           0)::BIGINT AS sum_word_chars,
+  len(list_filter(t, x -> contains(x, '#') OR contains(x, '…')))::BIGINT
+    AS n_symbol_words,
+  len(lns)::BIGINT AS n_lines,
+  len(list_filter(lns, ln -> starts_with(ltrim(ln), '-')
+      OR starts_with(ltrim(ln), '*')
+      OR starts_with(ltrim(ln), '•')))::BIGINT AS n_bullet_lines,
+  len(list_filter(lns, ln -> ends_with(rtrim(ln), '...')
+      OR ends_with(rtrim(ln), '…')))::BIGINT AS n_ellipsis_lines,
+  len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT
+    AS n_alpha_words,
+  len(list_intersect(list_distinct(list_transform(t, x -> lower(x))),
+      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))::BIGINT
+    AS stop_hits,
+  (len(t) >= 50 AND len(t) <= 100000
+   AND coalesce(list_aggregate(list_transform(t, x -> length(x)),
+                               'sum'), 0) >= 3 * len(t)
+   AND coalesce(list_aggregate(list_transform(t, x -> length(x)),
+                               'sum'), 0) <= 10 * len(t)
+   AND len(list_filter(t, x -> contains(x, '#')
+           OR contains(x, '…'))) * 10 <= len(t)
+   AND len(list_filter(lns, ln -> starts_with(ltrim(ln), '-')
+           OR starts_with(ltrim(ln), '*')
+           OR starts_with(ltrim(ln), '•'))) * 10 <= 9 * len(lns)
+   AND len(list_filter(lns, ln -> ends_with(rtrim(ln), '...')
+           OR ends_with(rtrim(ln), '…'))) * 10 <= 3 * len(lns)
+   AND len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) * 5
+       >= 4 * len(t)
+   AND len(list_intersect(
+           list_distinct(list_transform(t, x -> lower(x))),
+           ['the', 'be', 'to', 'of', 'and', 'that', 'have',
+            'with'])) >= 2) AS gopher_ok
+FROM toks
+""")
+def _text_gopher_rules(spark, sf_dir):
+    """Gopher-style quality gate (Rae et al. 2021 A1.1): word-count /
+    mean-word-length / symbol-ratio / bullet-line / ellipsis-line /
+    alpha-word / stop-word rules as ONE codegen projection — integer
+    cross-mult gates, no shuffle, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    return ts.gopher_rules(docs)
+
+
+@_q("mixture_sample", f"""
+WITH counts AS (
+  SELECT source, count(*)::BIGINT AS c FROM documents GROUP BY source),
+w AS (
+  SELECT source, c,
+         round(sqrt(c::DOUBLE), 6)::DECIMAL(38,6) AS t FROM counts),
+p AS (
+  SELECT source,
+    CAST(floor(round(least(1.0,
+      1000.0 * t::DOUBLE / ((SELECT sum(t) FROM w)::DOUBLE
+                            * c::DOUBLE)), 6) * 1000000) AS BIGINT)
+      AS p_ppm
+  FROM w)
+SELECT d.doc_id, d.source, p.p_ppm
+FROM documents d JOIN p USING (source)
+WHERE {_MD5L.format("'m:' || doc_id")} % 1000000 < p.p_ppm
+""")
+def _mixture_sample(spark, sf_dir):
+    """Temperature-weighted (α = 0.5) mixture sampling across sources
+    — the multilingual/multi-source balancing step of a training-data
+    pipeline: per-source keep probability ∝ c^α/c from one tiny
+    aggregate, applied as a deterministic hash filter (no rand()).
+    Broadcast weights join, ONE map-side-combined shuffle."""
+    from ftw_crawler_spark.operators import sampling
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (sampling.mixture_sample(docs, "source", "doc_id",
+                                    target_rows=1000, alpha_quarters=2)
+            .select("doc_id", "source", "p_ppm"))
+
+
+@_q("recrawl_schedule", """
+WITH g AS (
+  SELECT user_id, count(*)::BIGINT AS n_obs,
+         min(CAST(floor(epoch(ts)) AS BIGINT)) AS first_epoch,
+         max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_epoch
+  FROM events GROUP BY user_id HAVING count(*) >= 2)
+SELECT user_id, n_obs, first_epoch, last_epoch,
+  CAST(floor((last_epoch - first_epoch)::DOUBLE / (n_obs - 1))
+       AS BIGINT) AS interval_s,
+  last_epoch + CAST(floor((last_epoch - first_epoch)::DOUBLE
+                          / (n_obs - 1)) AS BIGINT) AS next_due_epoch
+FROM g
+""")
+def _recrawl_schedule(spark, sf_dir):
+    """Adaptive revisit scheduling (incremental crawl policy): per
+    entity, the mean observed change interval and the next due fetch
+    time — integer epoch-second math, one map-side-combined aggregate
+    shuffle. Events stand in for the per-URL change log."""
+    from ftw_crawler_spark.operators.incremental import recrawl_schedule
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return recrawl_schedule(ev, entity_col="user_id", ts_col="ts")
+
+
 @_q("url_canonicalize", r"""
 WITH messy AS (
   SELECT doc_id,

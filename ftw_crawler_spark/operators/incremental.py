@@ -147,3 +147,33 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
           for c in fingerprint_cols],
         *[F.col(f"__new_{c}").alias(f"new_{c}")
           for c in fingerprint_cols])
+
+
+def recrawl_schedule(changes: DataFrame, entity_col: str = "url",
+                     ts_col: str = "ts") -> DataFrame:
+    """Adaptive revisit scheduling from an observed change log — the
+    incremental-crawl policy layer (how often a page changes decides
+    when to fetch it again; uniform-rate estimator per Cho &
+    Garcia-Molina's recrawl-frequency work).
+
+    Per entity: ``n_obs`` observed changes, mean inter-change interval
+    ``interval_s = floor((last - first) / (n_obs - 1))`` whole seconds,
+    and ``next_due_epoch = last_epoch + interval_s``. Entities with a
+    single observation carry no rate and are dropped (callers schedule
+    those on a default TTL). All math is integer epoch seconds
+    (engine-reproducible: Spark ``unix_timestamp`` floors, the oracle
+    pins ``floor(epoch(ts))``); ONE aggregate shuffle on the entity
+    key, map-side combined — no window, no corpus sort."""
+    e = F.unix_timestamp(F.col(ts_col))
+    g = (changes.groupBy(entity_col)
+         .agg(F.count(F.lit(1)).cast("long").alias("n_obs"),
+              F.min(e).alias("first_epoch"),
+              F.max(e).alias("last_epoch"))
+         .filter(F.col("n_obs") >= 2))
+    interval = F.floor(
+        (F.col("last_epoch") - F.col("first_epoch"))
+        / (F.col("n_obs") - 1)).cast("long")
+    return g.select(
+        F.col(entity_col), "n_obs", "first_epoch", "last_epoch",
+        interval.alias("interval_s"),
+        (F.col("last_epoch") + interval).alias("next_due_epoch"))

@@ -46,6 +46,66 @@ def hash_sample(df: DataFrame, key_col: str, rate_ppm: int,
     return df.filter(F.pmod(h, F.lit(PPM)) < F.lit(rate_ppm))
 
 
+def _pow_quarters(c: Column, q: int) -> Column:
+    """``c ** (q/4)`` for q in 1..4 built ONLY from IEEE-exact ops
+    (sqrt is correctly rounded; pow() is not guaranteed bit-identical
+    across engines, so temperature exponents are restricted to
+    quarters — the standard 0.25/0.5/0.75/1.0 mixture range)."""
+    if q == 1:
+        return F.sqrt(F.sqrt(c))
+    if q == 2:
+        return F.sqrt(c)
+    if q == 3:
+        return F.sqrt(c) * F.sqrt(F.sqrt(c))
+    if q == 4:
+        return c.cast("double")
+    raise ValueError(f"alpha_quarters must be 1..4, got {q}")
+
+
+def mixture_sample(df: DataFrame, source_col: str, key_col: str,
+                   target_rows: int, alpha_quarters: int = 2,
+                   salt: str = "m", use_md5: bool = True) -> DataFrame:
+    """Temperature-weighted mixture sampling across sources — the
+    multilingual/multi-source balancing step of a training-data
+    pipeline (sample source s with weight ∝ count_s^α, α = q/4):
+    up-weights the tail, damps the head.
+
+    Per-source keep probability
+    ``p_s = min(1, target_rows · c_s^α / (Σ_t c_t^α · c_s))`` is
+    derived in one tiny aggregate over sources (map-side combined; the
+    per-source relation is ~|domains| rows — broadcast back, never a
+    corpus-wide shuffle), then applied as the same deterministic
+    hash filter as ``hash_sample``. Σ c^α accumulates in DECIMAL after
+    a round(·, 6) pin so the sum is order-independent and
+    engine-identical; the final probability is pinned to ppm with
+    floor(round(·, 6)·1e6) on both engines (Spark cast truncates,
+    DuckDB's rounds — floor() avoids the mismatch).
+
+    Returns the sampled rows with p_ppm attached (drop it downstream).
+    Deterministic in (keys, per-source counts) alone."""
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__c"))
+    term = _pow_quarters(F.col("__c").cast("double"), alpha_quarters)
+    w_all = Window.partitionBy()
+    weights = (counts
+               .withColumn("__t", F.round(term, 6).cast("decimal(38,6)"))
+               .withColumn("__W", F.sum("__t").over(w_all))
+               .withColumn(
+                   "p_ppm",
+                   F.floor(F.round(
+                       F.least(
+                           F.lit(1.0),
+                           F.lit(float(target_rows))
+                           * F.col("__t").cast("double")
+                           / (F.col("__W").cast("double")
+                              * F.col("__c").cast("double"))), 6)
+                       * F.lit(PPM)).cast("long"))
+               .select(source_col, "p_ppm"))
+    h = _sample_hash(F.col(key_col), salt, use_md5)
+    return (df.join(F.broadcast(weights), source_col)
+            .filter(F.pmod(h, F.lit(PPM)) < F.col("p_ppm")))
+
+
 def stratified_sample(df: DataFrame, strata_col: str, key_col: str,
                       n_per_stratum: int, salt: str = "t",
                       use_md5: bool = True) -> DataFrame:

@@ -188,6 +188,69 @@ def pack_token_shards(docs: DataFrame, budget_tokens: int,
                     .cast("long").alias("shard_idx")))
 
 
+# Gopher stop-word rule list (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", appendix A1.1): a doc must contain >= 2 of these.
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021 A1.1) —
+    the standard pre-training repetition/format filter family, as ONE
+    codegen projection (no shuffle, no Python):
+
+    - 50 <= n_words <= 100_000
+    - mean word length in [3, 10]   (3n <= sum_chars <= 10n, integer)
+    - symbol-to-word ratio <= 0.1   ('#' or ellipsis tokens)
+    - <= 90% of lines start with a bullet ('-', '*', '•')
+    - <= 30% of lines end with an ellipsis ('...' or '…')
+    - >= 80% of words contain an ASCII alphabetic character
+    - >= 2 distinct Gopher stop words present
+
+    All gates are integer cross-multiplied (no float division), so a
+    SQL engine reproduces the booleans bit-for-bit. Returns (id,
+    n_words, sum_word_chars, n_symbol_words, n_lines, n_bullet_lines,
+    n_ellipsis_lines, n_alpha_words, stop_hits, gopher_ok)."""
+    toks = tokens_col(text_col)
+    lows = F.transform(toks, F.lower)
+    n_words = F.size(toks).cast("long")
+    sum_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    n_symbol = F.size(F.filter(
+        toks, lambda x: x.contains("#") | x.contains("…"))).cast("long")
+    lines = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines).cast("long")
+    bullet = F.size(F.filter(
+        lines, lambda ln: F.ltrim(ln).startswith("-")
+        | F.ltrim(ln).startswith("*")
+        | F.ltrim(ln).startswith("•"))).cast("long")
+    ellipsis = F.size(F.filter(
+        lines, lambda ln: F.rtrim(ln).endswith("...")
+        | F.rtrim(ln).endswith("…"))).cast("long")
+    n_alpha = F.size(F.filter(
+        toks, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(lows),
+        F.array(*[F.lit(s) for s in GOPHER_STOPS]))).cast("long")
+    ok = ((n_words >= 50) & (n_words <= 100_000)
+          & (sum_chars >= 3 * n_words) & (sum_chars <= 10 * n_words)
+          & (n_symbol * 10 <= n_words)
+          & (bullet * 10 <= 9 * n_lines)
+          & (ellipsis * 10 <= 3 * n_lines)
+          & (n_alpha * 5 >= 4 * n_words)
+          & (stop_hits >= 2))
+    return docs.select(
+        F.col(id_col), n_words.alias("n_words"),
+        sum_chars.alias("sum_word_chars"),
+        n_symbol.alias("n_symbol_words"), n_lines.alias("n_lines"),
+        bullet.alias("n_bullet_lines"),
+        ellipsis.alias("n_ellipsis_lines"),
+        n_alpha.alias("n_alpha_words"), stop_hits.alias("stop_hits"),
+        ok.alias("gopher_ok"))
+
+
 def bottomk_fingerprint(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 4,
                         w: int = 3) -> DataFrame:

@@ -75,3 +75,43 @@ def test_pii_scan_is_pure_column_plan(spark):
         .toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_mixture_sample_damps_head(spark):
+    """α=0.5 sampling: keep probability falls with source size, the
+    sample is deterministic, and head sources are damped harder."""
+    from ftw_crawler_spark.operators.sampling import mixture_sample
+    rows = [(i, "big") for i in range(1000)] + \
+        [(1000 + i, "small") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_sample(df, "source", "doc_id", target_rows=200)
+    got = out.collect()
+    again = set(r["doc_id"] for r in mixture_sample(
+        df.repartition(7), "source", "doc_id", target_rows=200)
+        .collect())
+    assert set(r["doc_id"] for r in got) == again  # partition-invariant
+    p = {r["source"]: r["p_ppm"] for r in out.select(
+        "source", "p_ppm").distinct().collect()}
+    # w ∝ sqrt(c): sqrt(1000)≈31.6, sqrt(40)≈6.3 → W≈37.9
+    # p_big = 200·31.6/(37.9·1000) ≈ 0.167; p_small = 200·6.3/(37.9·40)
+    # ≈ 0.83 — the small source keeps a ~5× larger fraction
+    assert p["small"] > 4 * p["big"]
+    # expected sample size ≈ target_rows (hash sampling is unbiased)
+    assert 120 <= len(got) <= 280
+
+
+def test_recrawl_schedule_intervals(spark):
+    from datetime import datetime
+
+    from ftw_crawler_spark.operators.incremental import recrawl_schedule
+    df = spark.createDataFrame(
+        [("a", datetime(2026, 1, 1, 0, 0, 0)),
+         ("a", datetime(2026, 1, 1, 0, 0, 10)),
+         ("a", datetime(2026, 1, 1, 0, 0, 30)),   # span 30, n 3 → 15
+         ("b", datetime(2026, 1, 1, 0, 0, 0))],   # single obs → dropped
+        "url string, ts timestamp")
+    got = {r["url"]: r for r in recrawl_schedule(df).collect()}
+    assert set(got) == {"a"}
+    a = got["a"]
+    assert a["n_obs"] == 3 and a["interval_s"] == 15
+    assert a["next_due_epoch"] == a["last_epoch"] + 15

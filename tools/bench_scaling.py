@@ -22,12 +22,24 @@ Two measurements, both reported:
   is evaluated against.
 
 Usage: python tools/bench_scaling.py [n_urls] [--steady-only]
+                                     [--levels N,4N]
 Prints one JSON line with throughput at both levels + efficiencies.
 ``--steady-only`` skips the pipeline phase so the whole measurement
 fits inside a short ambient-quiet window (the steady-state stage is
 the number the >=0.8 criterion is evaluated against; the pipeline
 phase is transparency-only and its sandbox ceiling is documented in
 BASELINE.md).
+
+``--levels 4,16`` measures a different N→4N pair. Why that matters on
+this rig: the 32 CPUs are 32 physical cores of ONE host, so local[32]
+saturates the host's shared memory bandwidth — /proc/stat shows the
+machine pegged at ~100% busy through the stage while per-core
+throughput drops (32 concurrent lxml parsers contending for one LLC /
+memory controller). A real cluster adds memory bandwidth with every
+node, so the 8→32 single-host pair UNDERSTATES cluster scaling; the
+4→16 pair exercises the same 4× factor inside the host's bandwidth
+envelope and is the closer analog of adding executor machines.
+Both pairs are published in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -101,6 +113,13 @@ def _wait_quiet(threshold: float = 0.6, max_wait: int = 240) -> None:
 def main() -> int:
     argv = [a for a in sys.argv[1:] if a != "--steady-only"]
     steady_only = "--steady-only" in sys.argv[1:]
+    lo, hi = 8, 32
+    for a in list(argv):
+        if a.startswith("--levels"):
+            i = argv.index(a)
+            argv.remove(a)
+            spec = a.split("=", 1)[1] if "=" in a else argv.pop(i)
+            lo, hi = (int(x) for x in spec.split(","))
     n_urls = int(argv[0]) if argv else 300_000
     # generate the world once so neither timed run pays for it
     env = dict(os.environ)
@@ -126,25 +145,27 @@ def main() -> int:
         # residue it barely feels. _wait_quiet() between levels lets
         # the previous phase's load decay instead of being billed to
         # the next measurement.
-        r32 = run_level(32, n_urls, mode)
+        r_hi = run_level(hi, n_urls, mode)
         _wait_quiet()
-        r8 = run_level(8, n_urls, mode)
+        r_lo = run_level(lo, n_urls, mode)
         sect = "crawl" if mode == "crawl" else "extract_stage"
-        ups8 = r8[sect]["urls_per_sec"]
-        ups32 = r32[sect]["urls_per_sec"]
-        speedup = ups32 / ups8 if ups8 else 0.0
+        ups_lo = r_lo[sect]["urls_per_sec"]
+        ups_hi = r_hi[sect]["urls_per_sec"]
+        speedup = ups_hi / ups_lo if ups_lo else 0.0
         result[key] = {
-            "n8": r8[sect], "n32": r32[sect],
-            "speedup_8_to_32": round(speedup, 3),
-            "efficiency": round(speedup / 4.0, 3),
+            f"n{lo}": r_lo[sect], f"n{hi}": r_hi[sect],
+            f"speedup_{lo}_to_{hi}": round(speedup, 3),
+            "efficiency": round(speedup / (hi / lo), 3),
             "ambient_load": {
-                "n8": [r8["loadavg_before"], r8["loadavg_after"]],
-                "n32": [r32["loadavg_before"], r32["loadavg_after"]],
+                f"n{lo}": [r_lo["loadavg_before"], r_lo["loadavg_after"]],
+                f"n{hi}": [r_hi["loadavg_before"], r_hi["loadavg_after"]],
             },
         }
+    result["levels"] = [lo, hi]
     result["note"] = (
-        "efficiency = (ups@local[32]/ups@local[8]) / (32/8); north-rule "
-        "criterion evaluated on steady_state (see module docstring)")
+        f"efficiency = (ups@local[{hi}]/ups@local[{lo}]) / ({hi}/{lo}); "
+        "north-rule criterion evaluated on steady_state "
+        "(see module docstring)")
     print(json.dumps(result))
     return 0
 
