@@ -25,7 +25,12 @@ of extraction is testable end-to-end.
 
 from __future__ import annotations
 
-from html.parser import HTMLParser
+import re
+from html import unescape as _unescape
+from html.parser import (HTMLParser, attrfind_tolerant, commentclose,
+                         endendtag, endtagfind,
+                         locatestarttagend_tolerant, piclose,
+                         tagfind_tolerant)
 
 MARKUP_TYPES = ("application/xml", "application/xhtml+xml", "text/xml",
                 "text/html")  # reference: ftw/crawler/xml_utils/__init__.py:5-7
@@ -85,11 +90,33 @@ class Node:
                 parts.append(child)
 
 
+class DocumentRoot(Node):
+    """Root node carrying a tag → [nodes in document order] index built
+    during the parse. Element creation order IS preorder document
+    order, so index lists match ``iter()`` order exactly — consumers
+    (metadata scan, the XPath first step) use the index instead of a
+    full-tree walk, which the extraction profile showed as the second
+    cost after the parse itself."""
+
+    __slots__ = ("by_tag",)
+
+    def __init__(self):
+        super().__init__("#document")
+        self.by_tag: dict[str, list] = {}
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
-        self.root = Node("#document")
+        self.root = DocumentRoot()
         self.stack = [self.root]
+
+    def _index(self, tag: str, node: Node) -> None:
+        bucket = self.root.by_tag.get(tag)
+        if bucket is None:
+            self.root.by_tag[tag] = [node]
+        else:
+            bucket.append(node)
 
     def handle_starttag(self, tag, attrs):
         # namespace strip analog (reference XSLT remove_namespaces,
@@ -97,6 +124,7 @@ class _TreeBuilder(HTMLParser):
         tag = tag.rsplit(":", 1)[-1]
         node = Node(tag, attrs, parent=self.stack[-1])
         self.stack[-1].children.append(node)
+        self._index(tag, node)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
 
@@ -104,6 +132,7 @@ class _TreeBuilder(HTMLParser):
         tag = tag.rsplit(":", 1)[-1]
         node = Node(tag, attrs, parent=self.stack[-1])
         self.stack[-1].children.append(node)
+        self._index(tag, node)
 
     def handle_endtag(self, tag):
         tag = tag.rsplit(":", 1)[-1]
@@ -128,12 +157,178 @@ def sniff_encoding(data: bytes) -> str:
         return "latin-1"
 
 
+class _Bail(Exception):
+    """Fast tokenizer hit a construct it does not replicate — reparse
+    the whole document with the stdlib HTMLParser."""
+
+
+# stdlib html.parser's own token regexes are imported at module top and
+# reused verbatim so the fast path is token-identical where it runs
+_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script", re.IGNORECASE),
+    "style": re.compile(r"</\s*style", re.IGNORECASE),
+}
+_LETTERS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+
+def _fast_feed(s: str, b: "_TreeBuilder") -> None:
+    """One-pass tokenizer over a COMPLETE document string, emitting the
+    same handler calls as ``HTMLParser(convert_charrefs=True)`` —
+    goahead()'s incremental-feed generality (rawdata buffering,
+    updatepos line tracking, partial-charref hold-back) is what the
+    extraction profile showed as the dominant per-row cost, and none
+    of it is needed when the whole string is in hand. Tag/attr
+    tokenization reuses the stdlib's own compiled regexes, so where
+    this path runs it is call-for-call identical; any construct whose
+    stdlib handling involves recovery heuristics we don't replicate
+    (truncated tags, marked sections, unterminated comments) raises
+    ``_Bail`` and the caller reparses with the stdlib parser.
+    Byte-identity with HTMLParser is pinned by test_extraction's
+    corpus sweep + a randomized cross-check."""
+    i, n = 0, len(s)
+    handle_data = b.handle_data
+    while i < n:
+        j = s.find("<", i)
+        if j < 0:
+            chunk = s[i:]
+            if chunk:
+                handle_data(_unescape(chunk) if "&" in chunk else chunk)
+            return
+        if j > i:
+            chunk = s[i:j]
+            handle_data(_unescape(chunk) if "&" in chunk else chunk)
+        i = j
+        nxt = s[i + 1:i + 2]
+        if nxt in _LETTERS:
+            # --- parse_starttag, whole-string edition ---
+            m = locatestarttagend_tolerant.match(s, i)
+            j2 = m.end()
+            after = s[j2:j2 + 1]
+            if after == ">":
+                endpos = j2 + 1
+            elif after == "/" and s.startswith("/>", j2):
+                endpos = j2 + 2
+            elif after == "":
+                raise _Bail  # EOF inside tag: stdlib recovery path
+            elif after == "/" or after in _LETTERS or after == "=":
+                raise _Bail  # buffer-boundary/bogus recovery path
+            else:
+                endpos = j2 if j2 > i else i + 1
+            tm = tagfind_tolerant.match(s, i + 1)
+            if tm is None:
+                raise _Bail
+            k = tm.end()
+            tag = tm.group(1).lower()
+            attrs = []
+            while k < endpos:
+                am = attrfind_tolerant.match(s, k)
+                if not am:
+                    break
+                attrname, rest, attrvalue = am.group(1, 2, 3)
+                if not rest:
+                    attrvalue = None
+                elif attrvalue[:1] == "'" == attrvalue[-1:] or \
+                        attrvalue[:1] == '"' == attrvalue[-1:]:
+                    attrvalue = attrvalue[1:-1]
+                if attrvalue:
+                    attrvalue = _unescape(attrvalue)
+                attrs.append((attrname.lower(), attrvalue))
+                k = am.end()
+            end = s[k:endpos].strip()
+            if end not in (">", "/>"):
+                handle_data(s[i:endpos])
+                i = endpos
+                continue
+            if end == "/>":
+                b.handle_startendtag(tag, attrs)
+                i = endpos
+                continue
+            b.handle_starttag(tag, attrs)
+            i = endpos
+            if tag in _CDATA_CLOSE:
+                # --- cdata mode: raw data until the matching endtag ---
+                cd = _CDATA_CLOSE[tag]
+                while True:
+                    m2 = cd.search(s, i)
+                    if not m2:
+                        raise _Bail  # unterminated script/style
+                    j3 = m2.start()
+                    if j3 > i:
+                        handle_data(s[i:j3])  # raw: no charref convert
+                    gm = endendtag.search(s, j3 + 1)
+                    if not gm:
+                        raise _Bail
+                    gtpos = gm.end()
+                    em = endtagfind.match(s, j3)
+                    if not em or em.group(1).lower() != tag:
+                        handle_data(s[j3:gtpos])
+                        i = gtpos
+                        continue
+                    b.handle_endtag(tag)
+                    i = gtpos
+                    break
+        elif s.startswith("</", i):
+            # --- parse_endtag (non-cdata) ---
+            gm = endendtag.search(s, i + 1)
+            if not gm:
+                raise _Bail
+            gtpos = gm.end()
+            em = endtagfind.match(s, i)
+            if em:
+                b.handle_endtag(em.group(1).lower())
+                i = gtpos
+                continue
+            nm = tagfind_tolerant.match(s, i + 2)
+            if not nm:
+                if s.startswith("</>", i):
+                    i += 3
+                    continue
+                # bogus comment: ignored by the builder
+                pos = s.find(">", i + 2)
+                if pos == -1:
+                    raise _Bail
+                i = pos + 1
+                continue
+            gtpos2 = s.find(">", nm.end())
+            if gtpos2 == -1:
+                raise _Bail
+            b.handle_endtag(nm.group(1).lower())
+            i = gtpos2 + 1
+        elif s.startswith("<!--", i):
+            m3 = commentclose.search(s, i + 4)
+            if not m3:
+                raise _Bail
+            i = m3.end()  # comments ignored by the builder
+        elif s.startswith("<?", i):
+            m4 = piclose.search(s, i + 2)
+            if not m4:
+                raise _Bail
+            i = m4.end()  # PIs ignored
+        elif s.startswith("<!", i):
+            if s.startswith("<![", i):
+                raise _Bail  # marked section
+            # doctype / bogus declaration: skip to '>' (ignored)
+            pos = s.find(">", i + 2)
+            if pos == -1:
+                raise _Bail
+            i = pos + 1
+        else:
+            # lone '<' is data
+            handle_data("<")
+            i += 1
+
+
 def parse_html(data: bytes | str) -> Node:
     if isinstance(data, bytes):
         data = data.decode(sniff_encoding(data))
     builder = _TreeBuilder()
-    builder.feed(data)
-    builder.close()
+    try:
+        _fast_feed(data, builder)
+    except _Bail:
+        builder = _TreeBuilder()
+        builder.feed(data)
+        builder.close()
     return builder.root
 
 
@@ -159,10 +354,15 @@ def xpath_all(root: Node, xpath: str) -> list[Node]:
     steps = xpath[2:].split("/")
     parsed = [_parse_step(s) for s in steps if s]
 
-    # first step: descendant-or-self
+    # first step: descendant-or-self (the by_tag index is preorder
+    # document order — identical to the iter() walk)
     tag0, pred0 = parsed[0]
-    current = [n for n in root.iter()
-               if n.tag == tag0 and _match_pred(n, pred0)]
+    if isinstance(root, DocumentRoot):
+        current = [n for n in root.by_tag.get(tag0, ())
+                   if _match_pred(n, pred0)]
+    else:
+        current = [n for n in root.iter()
+                   if n.tag == tag0 and _match_pred(n, pred0)]
     for tag, pred in parsed[1:]:
         nxt = []
         for node in current:
@@ -216,18 +416,28 @@ def extract_metadata(html_bytes: bytes | None,
         return {}
     if root is None:
         root = parse_html(html_bytes)
-    # one traversal: the first <title> in document order (== the
-    # xpath_first('//title') result) + every <meta name= content=>
+    # the first <title> in document order (== the xpath_first('//title')
+    # result) + every <meta name= content=> — via the parse-time tag
+    # index when available (no tree walk), else one traversal
     meta: dict[str, str] = {}
     title_node = None
-    for node in root.iter():
-        if node.tag == "title" and title_node is None:
-            title_node = node
-        elif node.tag == "meta":
+    if isinstance(root, DocumentRoot):
+        titles = root.by_tag.get("title")
+        title_node = titles[0] if titles else None
+        for node in root.by_tag.get("meta", ()):
             name = node.attrs.get("name")
             content = node.attrs.get("content")
             if name and content is not None:
                 meta[name] = content
+    else:
+        for node in root.iter():
+            if node.tag == "title" and title_node is None:
+                title_node = node
+            elif node.tag == "meta":
+                name = node.attrs.get("name")
+                content = node.attrs.get("content")
+                if name and content is not None:
+                    meta[name] = content
     if title_node is not None:
         # insertion order must match the original (title first) for the
         # canonicalization's dict-order semantics

@@ -163,12 +163,20 @@ def _python_fields_udf(config: cfg.CrawlerConfig, fields: list,
                 html: pd.Series, text: pd.Series, content_type: pd.Series,
                 headers: pd.Series, attributes: pd.Series) -> pd.DataFrame:
         n = len(loc)
+        # one bulk tolist() per column: Series.iloc[i] in the row loop
+        # is ~19% of UDF wall time at bench scale (pandas indexing
+        # machinery per cell); list indexing is free
+        locs, lastmods, targets = \
+            loc.tolist(), lastmod.tolist(), target.tolist()
+        htmls, texts, cts = html.tolist(), text.tolist(), \
+            content_type.tolist()
+        hdrs, attrs = headers.tolist(), attributes.tolist()
         out: dict[str, list] = {f.name: [None] * n for f in fields}
         for i in range(n):
             row = cfg._RowCtx(
-                loc.iloc[i], lastmod.iloc[i], target.iloc[i],
-                html.iloc[i], text.iloc[i], content_type.iloc[i],
-                headers.iloc[i], attributes.iloc[i], ct_aware)
+                locs[i], lastmods[i], targets[i],
+                htmls[i], texts[i], cts[i],
+                hdrs[i], attrs[i], ct_aware)
             for f in fields:
                 value = f.extractor.eval_row(row)
                 if value is NO_VALUE:

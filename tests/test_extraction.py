@@ -180,3 +180,78 @@ def test_schema_matches_declaration(extracted, spark):
     config = cfg.default_config()
     schema = document_schema(config)
     assert [f.name for f in schema.fields] == [f.name for f in config.fields]
+
+
+def _dom_sig(node):
+    """Deep DOM serialization with adjacent data strings coalesced
+    (handler-call granularity may legitimately differ between the fast
+    tokenizer and HTMLParser; only the concatenation is contractual)."""
+    from ftw_crawler_spark.functions.html import Node
+    out = [("open", node.tag, tuple(sorted(node.attrs.items())))]
+    buf = []
+    for c in node.children:
+        if isinstance(c, Node):
+            if buf:
+                out.append(("data", "".join(buf)))
+                buf = []
+            out.extend(_dom_sig(c))
+        else:
+            buf.append(c)
+    if buf:
+        out.append(("data", "".join(buf)))
+    out.append(("close", node.tag))
+    return out
+
+
+def test_fast_parser_matches_stdlib():
+    """The whole-string fast tokenizer must be call-identical to
+    HTMLParser(convert_charrefs=True) wherever it runs, and bail (never
+    diverge) elsewhere. Crafted edge docs + seeded random tag soup;
+    the full 300k-page corpus sweep was run once at build time."""
+    import random
+
+    from ftw_crawler_spark.functions import html as H
+
+    def stdlib(s):
+        b = H._TreeBuilder()
+        b.feed(s)
+        b.close()
+        return b.root
+
+    def compare(s):
+        ref = _dom_sig(stdlib(s))
+        b = H._TreeBuilder()
+        try:
+            H._fast_feed(s, b)
+        except H._Bail:
+            return False
+        assert _dom_sig(b.root) == ref, s[:200]
+        return True
+
+    crafted = [
+        "<html><head><title>T&amp;T</title><meta name=a content='x&gt;'>"
+        "</head><body><h1 class=big>H</h1><p>a<b>c</p></body></html>",
+        "<script>if (a<b && c>d) { '</div>' }</script>after",
+        "<STYLE>a>b{}</STyLE><p>x",
+        "<!doctype html><!-- c --><?pi?><div/>text</div>",
+        "plain & text < 5 > 3 &#65;&#xE9;&notanentity;",
+        "<p a=1 b='2' c=\"3\" d>x</ p><img src=x/><br/>",
+        "<t:ns attr='v'>x</t:ns>",
+        "a<",  # trailing lone '<'
+        "</>x</ >y<!bogus>z",
+        "<td>x</td></tr>",  # endtags with no open match
+    ]
+    ok = sum(compare(s) for s in crafted)
+    assert ok >= 8  # nearly all crafted docs take the fast path
+
+    random.seed(11)
+    pieces = ["<p>", "</p>", "<div class='a'>", "</div>", "text", "&amp;",
+              "&#65;", "&", "<", "< no", "<!-- c -->", "<!doctype html>",
+              "<br/>", "<script>'<div>'</script>", "</>", "<p a>", "é",
+              "<title>T&T</title>", "<b", "&gt", "<p/>x</p >"]
+    fast = 0
+    for _ in range(400):
+        s = "".join(random.choice(pieces)
+                    for _ in range(random.randint(1, 25)))
+        fast += compare(s)
+    assert fast > 100  # bail is allowed, divergence never
