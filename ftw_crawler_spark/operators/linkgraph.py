@@ -77,15 +77,15 @@ def parse_outlinks(html_bytes: bytes | None,
         doc = parse_html(html_bytes)
     except Exception:
         return []
+    # parse_html's root carries a tag index in document order — no
+    # tree walks (index order == preorder, pinned in functions/html.py)
     base = base_url
-    for node in doc.iter():          # preorder = document order
-        if node.tag == "base" and node.attrs.get("href"):
+    for node in doc.by_tag.get("base", ()):
+        if node.attrs.get("href"):
             base = urljoin(base_url, node.attrs["href"])
             break
     out = []
-    for a in doc.iter():
-        if a.tag != "a":
-            continue
+    for a in doc.by_tag.get("a", ()):
         href = a.attrs.get("href")
         if not href:
             continue
