@@ -834,6 +834,29 @@ def _text_length_histogram(spark, sf_dir):
     return ts.length_histogram(docs)
 
 
+# Gopher A1.1 combined gate over (t tokens, lns non-empty lines) —
+# shared by the text_gopher_rules report and the curation_funnel stage
+# attribution (identical boolean, identical integer cross-mults).
+_GOPHER_OK_SQL = """(len(t) >= 50 AND len(t) <= 100000
+   AND coalesce(list_aggregate(list_transform(t, x -> length(x)),
+                               'sum'), 0) >= 3 * len(t)
+   AND coalesce(list_aggregate(list_transform(t, x -> length(x)),
+                               'sum'), 0) <= 10 * len(t)
+   AND len(list_filter(t, x -> contains(x, '#')
+           OR contains(x, '…'))) * 10 <= len(t)
+   AND len(list_filter(lns, ln -> starts_with(ltrim(ln), '-')
+           OR starts_with(ltrim(ln), '*')
+           OR starts_with(ltrim(ln), '•'))) * 10 <= 9 * len(lns)
+   AND len(list_filter(lns, ln -> ends_with(rtrim(ln), '...')
+           OR ends_with(rtrim(ln), '…'))) * 10 <= 3 * len(lns)
+   AND len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) * 5
+       >= 4 * len(t)
+   AND len(list_intersect(
+           list_distinct(list_transform(t, x -> lower(x))),
+           ['the', 'be', 'to', 'of', 'and', 'that', 'have',
+            'with'])) >= 2)"""
+
+
 @_q("text_gopher_rules", f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS_SQL} AS t,
@@ -856,24 +879,7 @@ SELECT doc_id,
   len(list_intersect(list_distinct(list_transform(t, x -> lower(x))),
       ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))::BIGINT
     AS stop_hits,
-  (len(t) >= 50 AND len(t) <= 100000
-   AND coalesce(list_aggregate(list_transform(t, x -> length(x)),
-                               'sum'), 0) >= 3 * len(t)
-   AND coalesce(list_aggregate(list_transform(t, x -> length(x)),
-                               'sum'), 0) <= 10 * len(t)
-   AND len(list_filter(t, x -> contains(x, '#')
-           OR contains(x, '…'))) * 10 <= len(t)
-   AND len(list_filter(lns, ln -> starts_with(ltrim(ln), '-')
-           OR starts_with(ltrim(ln), '*')
-           OR starts_with(ltrim(ln), '•'))) * 10 <= 9 * len(lns)
-   AND len(list_filter(lns, ln -> ends_with(rtrim(ln), '...')
-           OR ends_with(rtrim(ln), '…'))) * 10 <= 3 * len(lns)
-   AND len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) * 5
-       >= 4 * len(t)
-   AND len(list_intersect(
-           list_distinct(list_transform(t, x -> lower(x))),
-           ['the', 'be', 'to', 'of', 'and', 'that', 'have',
-            'with'])) >= 2) AS gopher_ok
+  {_GOPHER_OK_SQL} AS gopher_ok
 FROM toks
 """)
 def _text_gopher_rules(spark, sf_dir):
@@ -1123,6 +1129,77 @@ SELECT doc_id,
     AS quality_ok
 FROM hits
 """
+
+
+def _funnel_sql() -> str:
+    hits = {lang: _LANG_HIT.format(words=", ".join(
+        f"'{w}'" for w in ts.STOPWORDS[lang]))
+        for lang in ts.LANG_ORDER}
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t,
+    list_filter(string_split(text, chr(10)), ln -> trim(ln) <> '') AS lns
+  FROM documents),
+hits AS (SELECT doc_id, t, lns, {hits['en']} AS en, {hits['de']} AS de,
+                {hits['fr']} AS fr, {hits['es']} AS es FROM toks),
+gates AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+  CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+       WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+       WHEN fr >= es AND fr > 0 THEN 'fr'
+       WHEN es > 0 THEN 'es'
+       ELSE 'und' END AS pred_lang,
+  (len(t) >= 10 AND len(t) <= 10000
+   AND coalesce(list_aggregate(list_transform(t, x -> length(x)),
+                               'sum'), 0) >= 3 * len(t)
+   AND coalesce(list_aggregate(list_transform(t, x -> length(x)),
+                               'sum'), 0) <= 12 * len(t)) AS quality_ok,
+  {_GOPHER_OK_SQL} AS gopher_ok,
+  (len(t) >= 2
+   AND (len(t) - 1 - len(list_distinct(
+          [t[i] || ' ' || t[i + 1] for i in range(1, len(t))]))) * 100
+       > 20 * (len(t) - 1)) AS repetitive
+  FROM hits),
+staged AS (
+  SELECT CASE WHEN pred_lang <> 'en' THEN 'lang'
+              WHEN NOT quality_ok THEN 'quality'
+              WHEN NOT gopher_ok THEN 'gopher'
+              WHEN repetitive THEN 'repetition'
+              ELSE 'kept' END AS stage, n_tokens
+  FROM gates)
+SELECT stage, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS sum_tokens
+FROM staged GROUP BY stage
+"""
+
+
+@_q("curation_funnel", _funnel_sql())
+def _curation_funnel(spark, sf_dir):
+    """Per-gate drop accounting (lang → quality → gopher → repetition
+    → kept): every gate boolean in ONE codegen projection, stage =
+    first failing gate, one tiny map-side-combined aggregate — the
+    observability report a 100-TB curation run ships with."""
+    from ftw_crawler_spark.operators.curation import quality_funnel
+    return quality_funnel(_t(spark, sf_dir, "documents"))
+
+
+@_q("dedup_shared_windows", f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+win AS (SELECT doc_id, list_distinct(
+          [array_to_string(t[i:i+7], ' ')
+           for i in range(1, len(t) - 6)]) AS ws
+        FROM toks WHERE len(t) >= 8),
+ex AS (SELECT doc_id, {_MD5L.format("unnest(ws)")} AS wh FROM win)
+SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS n_shared
+FROM ex a JOIN ex b USING (wh) WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+""")
+def _dedup_shared_windows(spark, sf_dir):
+    """Exact substring-window dedup (Lee et al. 2022): pairs sharing
+    ANY exact 8-token window (w=50 at production doc lengths) —
+    catches verbatim boilerplate below MinHash's similarity threshold.
+    Inverted window index, bucket equi-join, never all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.shared_window_pairs(docs, w=8)
 
 
 @_q("text_lang_quality", _lang_quality_sql())

@@ -119,3 +119,43 @@ def keep_best_per_cluster(components: DataFrame, quality: DataFrame,
             .select(F.col(component_col),
                     F.col(node_col).alias(id_col),
                     F.col(quality_col)))
+
+
+def quality_funnel(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", lang: str = "en",
+                   max_dup_pct: int = 20) -> DataFrame:
+    """Per-gate drop accounting for a curation run — the observability
+    view a 100-TB curation job ships with (which gate costs how much
+    corpus, before committing to the filtered output).
+
+    Every gate boolean is computed in ONE wide codegen projection
+    (single scan, no Python), then each document is attributed to the
+    FIRST gate that drops it — lang → quality → gopher → repetition —
+    or to 'kept'. One tiny map-side-combined aggregate on the stage
+    label returns (stage, n_docs, sum_tokens). The stage order matches
+    the composed curation_pipeline plan, so n_docs('kept') is exactly
+    the pipeline's pre-dedup survivor count."""
+    from ftw_crawler_spark.operators.textstats import (_gopher_cols,
+                                                       _pred_lang_col)
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks).cast("long")
+    sum_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    quality_ok = ((n_tokens >= 10) & (n_tokens <= 10000)
+                  & (sum_chars >= 3 * n_tokens)
+                  & (sum_chars <= 12 * n_tokens))
+    gopher_ok = _gopher_cols(text_col)["gopher_ok"]
+    grams = shingles_col(toks, 2)
+    n_g = F.size(grams)
+    dup = n_g - F.size(F.array_distinct(grams))
+    repetitive = (n_g > 0) & (dup * 100 > F.lit(max_dup_pct) * n_g)
+    stage = (F.when(_pred_lang_col(toks) != lang, "lang")
+             .when(~quality_ok, "quality")
+             .when(~gopher_ok, "gopher")
+             .when(repetitive, "repetition")
+             .otherwise("kept"))
+    return (docs.select(stage.alias("stage"), n_tokens.alias("__n"))
+            .groupBy("stage")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("__n").alias("sum_tokens")))

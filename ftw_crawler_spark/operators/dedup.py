@@ -249,6 +249,39 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     return out
 
 
+def shared_window_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", w: int = 50,
+                        max_df: int | None = None) -> DataFrame:
+    """Exact substring-window dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): two documents that
+    share ANY exact ``w``-token window are duplicates — the gate that
+    catches verbatim boilerplate MinHash's similarity threshold lets
+    through (a licence block pasted into otherwise-different pages).
+
+    Shape: distinct w-token windows per doc → hashed inverted window
+    index → window-bucket self-join → (a, b, n_shared) with a < b. At
+    100 TB the inverted index is the biggest intermediate but every
+    join is a bucket equi-join (never all-pairs) and ``max_df`` drops
+    windows present in more than max_df docs (a window shared by
+    thousands of docs is template boilerplate — its pair count is
+    quadratic and carries no decision value beyond "shared"). w = 50
+    is the published gate; pass a smaller w for short-doc corpora."""
+    toks = tokens_col(text_col)
+    win = F.array_distinct(shingles_col(toks, w))
+    ex = (docs.select(F.col(id_col), F.explode(win).alias("win"))
+          .select(id_col, md5_long(F.col("win")).alias("wh"))
+          .localCheckpoint(eager=False))
+    if max_df is not None:
+        df_counts = ex.groupBy("wh").agg(F.count(F.lit(1)).alias("df"))
+        ex = ex.join(df_counts.filter(F.col("df") <= max_df), "wh",
+                     "left_semi")
+    a = ex.select(F.col(id_col).alias("a"), "wh")
+    b = ex.select(F.col(id_col).alias("b"), "wh")
+    return (a.join(b, "wh").filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_shared")))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -193,24 +193,10 @@ def pack_token_shards(docs: DataFrame, budget_tokens: int,
 GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_rules(docs: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
-    """Gopher-style document quality gate (Rae et al. 2021 A1.1) —
-    the standard pre-training repetition/format filter family, as ONE
-    codegen projection (no shuffle, no Python):
-
-    - 50 <= n_words <= 100_000
-    - mean word length in [3, 10]   (3n <= sum_chars <= 10n, integer)
-    - symbol-to-word ratio <= 0.1   ('#' or ellipsis tokens)
-    - <= 90% of lines start with a bullet ('-', '*', '•')
-    - <= 30% of lines end with an ellipsis ('...' or '…')
-    - >= 80% of words contain an ASCII alphabetic character
-    - >= 2 distinct Gopher stop words present
-
-    All gates are integer cross-multiplied (no float division), so a
-    SQL engine reproduces the booleans bit-for-bit. Returns (id,
-    n_words, sum_word_chars, n_symbol_words, n_lines, n_bullet_lines,
-    n_ellipsis_lines, n_alpha_words, stop_hits, gopher_ok)."""
+def _gopher_cols(text_col: str) -> dict:
+    """The Gopher A1.1 counters + combined gate as named Columns —
+    shared by :func:`gopher_rules` (the wide report) and
+    curation.quality_funnel (which only consumes ``gopher_ok``)."""
     toks = tokens_col(text_col)
     lows = F.transform(toks, F.lower)
     n_words = F.size(toks).cast("long")
@@ -241,14 +227,34 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
           & (ellipsis * 10 <= 3 * n_lines)
           & (n_alpha * 5 >= 4 * n_words)
           & (stop_hits >= 2))
+    return {"n_words": n_words, "sum_word_chars": sum_chars,
+            "n_symbol_words": n_symbol, "n_lines": n_lines,
+            "n_bullet_lines": bullet, "n_ellipsis_lines": ellipsis,
+            "n_alpha_words": n_alpha, "stop_hits": stop_hits,
+            "gopher_ok": ok}
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021 A1.1) —
+    the standard pre-training repetition/format filter family, as ONE
+    codegen projection (no shuffle, no Python):
+
+    - 50 <= n_words <= 100_000
+    - mean word length in [3, 10]   (3n <= sum_chars <= 10n, integer)
+    - symbol-to-word ratio <= 0.1   ('#' or ellipsis tokens)
+    - <= 90% of lines start with a bullet ('-', '*', '•')
+    - <= 30% of lines end with an ellipsis ('...' or '…')
+    - >= 80% of words contain an ASCII alphabetic character
+    - >= 2 distinct Gopher stop words present
+
+    All gates are integer cross-multiplied (no float division), so a
+    SQL engine reproduces the booleans bit-for-bit. Returns (id,
+    n_words, sum_word_chars, n_symbol_words, n_lines, n_bullet_lines,
+    n_ellipsis_lines, n_alpha_words, stop_hits, gopher_ok)."""
+    cols = _gopher_cols(text_col)
     return docs.select(
-        F.col(id_col), n_words.alias("n_words"),
-        sum_chars.alias("sum_word_chars"),
-        n_symbol.alias("n_symbol_words"), n_lines.alias("n_lines"),
-        bullet.alias("n_bullet_lines"),
-        ellipsis.alias("n_ellipsis_lines"),
-        n_alpha.alias("n_alpha_words"), stop_hits.alias("stop_hits"),
-        ok.alias("gopher_ok"))
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()])
 
 
 def bottomk_fingerprint(docs: DataFrame, text_col: str = "text",

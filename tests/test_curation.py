@@ -115,3 +115,44 @@ def test_recrawl_schedule_intervals(spark):
     a = got["a"]
     assert a["n_obs"] == 3 and a["interval_s"] == 15
     assert a["next_due_epoch"] == a["last_epoch"] + 15
+
+
+def test_quality_funnel_stage_attribution(spark):
+    """Each crafted doc drops at a distinct gate; stage = FIRST failing
+    gate in lang → quality → gopher → repetition order."""
+    from ftw_crawler_spark.operators.curation import quality_funnel
+    # kept: 62 words, all bigrams distinct, 2 distinct gopher stops
+    good = "the be " + " ".join(
+        f"alpha{i} bravo{i} charlie{i}" for i in range(20))
+    de = "der die das und ist ein zu den " * 4             # lang
+    short = "the be of and that"                           # quality (<10)
+    # lang-ID passes on en-only stopwords (a/is/in/it) but only ONE
+    # distinct gopher stop ('the') -> gopher
+    no_stops = "the a is in it " + " ".join(
+        f"word{i} plain{i} text{i} here{i}" for i in range(15))
+    repeat = ("the be of and that have with word " * 12)   # 96 words,
+    # gopher-ok but every bigram repeats 12x -> repetition
+    df = spark.createDataFrame(
+        [(1, good), (2, de), (3, short), (4, no_stops), (5, repeat)],
+        "doc_id long, text string")
+    got = {r["stage"]: r["n_docs"] for r in quality_funnel(df).collect()}
+    assert got == {"kept": 1, "lang": 1, "quality": 1, "gopher": 1,
+                   "repetition": 1}, got
+
+
+def test_shared_window_pairs_exact_substring(spark):
+    from ftw_crawler_spark.operators import dedup
+    boiler = "this license text is shared verbatim across both pages"
+    a = "unique alpha words here . " + boiler
+    b = boiler + " . totally different trailing content over here"
+    c = "no overlap with anything else at all in this document text"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string")
+    got = dedup.shared_window_pairs(df, w=9).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["a"], r["b"]) == (1, 2) and r["n_shared"] >= 1
+    # max_df guard drops template windows shared by too many docs
+    many = [(i, "template " + boiler) for i in range(10, 16)]
+    df2 = spark.createDataFrame(many, "doc_id long, text string")
+    assert dedup.shared_window_pairs(df2, w=9, max_df=3).count() == 0
