@@ -58,7 +58,7 @@ class Node:
 
     def __init__(self, tag: str, attrs=None, parent=None):
         self.tag = tag
-        self.attrs = dict(attrs or {})
+        self.attrs = dict(attrs) if attrs else {}
         self.children: list = []
         self.parent = parent
 
@@ -121,7 +121,8 @@ class _TreeBuilder(HTMLParser):
     def handle_starttag(self, tag, attrs):
         # namespace strip analog (reference XSLT remove_namespaces,
         # xml_utils/__init__.py:10-19): drop any prefix
-        tag = tag.rsplit(":", 1)[-1]
+        if ":" in tag:
+            tag = tag.rsplit(":", 1)[-1]
         node = Node(tag, attrs, parent=self.stack[-1])
         self.stack[-1].children.append(node)
         self._index(tag, node)
@@ -129,13 +130,15 @@ class _TreeBuilder(HTMLParser):
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
-        tag = tag.rsplit(":", 1)[-1]
+        if ":" in tag:
+            tag = tag.rsplit(":", 1)[-1]
         node = Node(tag, attrs, parent=self.stack[-1])
         self.stack[-1].children.append(node)
         self._index(tag, node)
 
     def handle_endtag(self, tag):
-        tag = tag.rsplit(":", 1)[-1]
+        if ":" in tag:
+            tag = tag.rsplit(":", 1)[-1]
         # pop to nearest matching open tag (lenient, HTMLParser-style)
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:
@@ -188,8 +191,10 @@ def _fast_feed(s: str, b: "_TreeBuilder") -> None:
     corpus sweep + a randomized cross-check."""
     i, n = 0, len(s)
     handle_data = b.handle_data
+    find = s.find
+    startswith = s.startswith
     while i < n:
-        j = s.find("<", i)
+        j = find("<", i)
         if j < 0:
             chunk = s[i:]
             if chunk:
@@ -207,7 +212,7 @@ def _fast_feed(s: str, b: "_TreeBuilder") -> None:
             after = s[j2:j2 + 1]
             if after == ">":
                 endpos = j2 + 1
-            elif after == "/" and s.startswith("/>", j2):
+            elif after == "/" and startswith("/>", j2):
                 endpos = j2 + 2
             elif after == "":
                 raise _Bail  # EOF inside tag: stdlib recovery path
@@ -268,7 +273,7 @@ def _fast_feed(s: str, b: "_TreeBuilder") -> None:
                     b.handle_endtag(tag)
                     i = gtpos
                     break
-        elif s.startswith("</", i):
+        elif startswith("</", i):
             # --- parse_endtag (non-cdata) ---
             gm = endendtag.search(s, i + 1)
             if not gm:
@@ -281,35 +286,35 @@ def _fast_feed(s: str, b: "_TreeBuilder") -> None:
                 continue
             nm = tagfind_tolerant.match(s, i + 2)
             if not nm:
-                if s.startswith("</>", i):
+                if startswith("</>", i):
                     i += 3
                     continue
                 # bogus comment: ignored by the builder
-                pos = s.find(">", i + 2)
+                pos = find(">", i + 2)
                 if pos == -1:
                     raise _Bail
                 i = pos + 1
                 continue
-            gtpos2 = s.find(">", nm.end())
+            gtpos2 = find(">", nm.end())
             if gtpos2 == -1:
                 raise _Bail
             b.handle_endtag(nm.group(1).lower())
             i = gtpos2 + 1
-        elif s.startswith("<!--", i):
+        elif startswith("<!--", i):
             m3 = commentclose.search(s, i + 4)
             if not m3:
                 raise _Bail
             i = m3.end()  # comments ignored by the builder
-        elif s.startswith("<?", i):
+        elif startswith("<?", i):
             m4 = piclose.search(s, i + 2)
             if not m4:
                 raise _Bail
             i = m4.end()  # PIs ignored
-        elif s.startswith("<!", i):
-            if s.startswith("<![", i):
+        elif startswith("<!", i):
+            if startswith("<![", i):
                 raise _Bail  # marked section
             # doctype / bogus declaration: skip to '>' (ignored)
-            pos = s.find(">", i + 2)
+            pos = find(">", i + 2)
             if pos == -1:
                 raise _Bail
             i = pos + 1
