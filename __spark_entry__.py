@@ -1379,6 +1379,69 @@ def _linkgraph_pagerank(spark, sf_dir):
                     F.round("pr", 6).alias("pr_r6")))
 
 
+def _pr_priority_sql() -> str:
+    """Composition oracle: the unrolled-PageRank CTE feeding the
+    priority-frontier window (top-3 per synthetic host by pr desc,
+    doc_id tiebreak) — the 'crawl what matters first' scheduler."""
+    lg = _linkgraph_sql()
+    return f"""
+WITH lg AS ({lg})
+SELECT host, doc_id AS crawl_seq, pr_r6
+FROM (
+  SELECT CAST(('0x' || substr(md5('h:' || doc_id), 1, 15))::BIGINT % 20
+              AS VARCHAR) AS host,
+         doc_id, pr_r6,
+         row_number() OVER (
+           PARTITION BY ('0x' || substr(md5('h:' || doc_id), 1,
+                         15))::BIGINT % 20
+           ORDER BY pr_r6 DESC NULLS LAST, doc_id) AS rn
+  FROM lg) WHERE rn <= 3
+"""
+
+
+@_q("priority_by_pagerank", _pr_priority_sql())
+def _priority_by_pagerank(spark, sf_dir):
+    """Operator COMPOSITION: PageRank centrality feeds the priority
+    frontier queue — per-host budget admits the highest-centrality
+    URLs first (the 'crawl what matters first' scheduler a web-scale
+    recrawl runs). Same salted two-phase top-k as the politeness
+    scheduler; the pagerank relation is the one linkgraph_pagerank
+    bit-checks, rounded to 6dp so the cross-engine ORDERING is pinned,
+    doc_id tiebreak."""
+    from ftw_crawler_spark.operators import linkgraph as lg
+    from ftw_crawler_spark.operators.politeness import select_batch
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    did = F.col("doc_id").cast("string")
+    n_links = F.pmod(dedup.md5_long(F.concat(F.lit("n:"), did)), F.lit(4))
+    links = (docs
+             .withColumn("__nl", n_links)
+             .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(2))))
+             .filter(F.col("j") < F.col("__nl"))
+             .select(F.col("doc_id").alias("src"),
+                     F.pmod(dedup.md5_long(F.concat(
+                         F.lit("e:"), did, F.lit(":"),
+                         F.col("j").cast("string"))),
+                         F.lit(n)).alias("dst")))
+    edges = links.filter(F.col("src") != F.col("dst")).distinct() \
+        .localCheckpoint(eager=False)
+    nodes = docs.withColumnRenamed("doc_id", "node")
+    pr = lg.pagerank(nodes, edges, "node", src="src", dst="dst",
+                     n_iter=3, damping=_LG_DAMP)
+    frontier = pr.select(
+        F.pmod(dedup.md5_long(F.concat(F.lit("h:"),
+                                       F.col("node").cast("string"))),
+               F.lit(20)).cast("string").alias("host"),
+        F.col("node").alias("crawl_seq"),
+        F.round("pr", 6).alias("pr_r6"),
+        F.round("pr", 6).cast("string").alias("priority"))
+    host_state = frontier.select("host").distinct() \
+        .withColumn("sleeptime", F.lit(1.0))
+    return (select_batch(frontier, host_state, 3.0,
+                         order_mode="priority")
+            .select("host", "crawl_seq", "pr_r6"))
+
+
 # --- similarity search ------------------------------------------------------
 
 _COS_SQL = """
