@@ -1442,6 +1442,58 @@ def _priority_by_pagerank(spark, sf_dir):
             .select("host", "crawl_seq", "pr_r6"))
 
 
+@_q("cdx_ingest_plan", """
+SELECT 'http://sub' || (doc_id % 5) || '.example.org/Doc/' || doc_id
+         AS url,
+       TIMESTAMP '2026-01-01 00:00:00'
+         + to_seconds(doc_id * 2 + 1) AS ts,
+       'seg-' || (doc_id % 3) || '.warc.gz' AS warc_filename,
+       doc_id * 1000 + 1 AS offset,
+       500 + doc_id % 100 AS length,
+       'org,example,sub' || (doc_id % 5) || ')/doc/' || doc_id
+         AS urlkey
+FROM documents
+""")
+def _cdx_ingest_plan(spark, sf_dir):
+    """CDX(J) index → bulk-ingest plan, end-to-end: CDXJ capture lines
+    (two captures per url, one malformed line per 100 docs) are built
+    deterministically, parsed by the codegen CDX reader, reduced to
+    the latest admissible capture per url (max_by agg — the
+    read-these-byte-ranges plan), and SURT-keyed. The oracle is the
+    CLOSED-FORM expected plan, so parse, JSON extraction, timestamp
+    decode, malformed-line isolation, max_by selection, and the SURT
+    transform are all hash-checked at once (same posture as
+    crawl_e2e_slice)."""
+    from ftw_crawler_spark.sources.cdx import (latest_captures,
+                                               parse_cdx_lines,
+                                               surt_key_col)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    url = F.concat(F.lit("http://sub"), (did % 5).cast("string"),
+                   F.lit(".example.org/Doc/"), did.cast("string"))
+    two = docs.withColumn("j", F.explode(F.array(F.lit(0), F.lit(1))))
+    ts_str = F.date_format(
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + F.make_interval(secs=(did * 2 + F.col("j")).cast("double")),
+        "yyyyMMddHHmmss")
+    blob = F.concat(
+        F.lit('{"url": "'), url,
+        F.lit('", "mime": "text/html", "status": "200", '
+              '"digest": "sha1:X", "length": "'),
+        (F.lit(500) + did % 100).cast("string"),
+        F.lit('", "offset": "'),
+        (did * 1000 + F.col("j")).cast("string"),
+        F.lit('", "filename": "seg-'), (did % 3).cast("string"),
+        F.lit('.warc.gz"}'))
+    line = F.when((did % 100 == 0) & (F.col("j") == 0),
+                  F.lit("garbage-line-without-json")) \
+        .otherwise(F.concat(F.lit("k"), did.cast("string"), F.lit(" "),
+                            ts_str, F.lit(" "), blob))
+    parsed = parse_cdx_lines(two.select(line.alias("value")))
+    plan = latest_captures(parsed)
+    return plan.withColumn("urlkey", surt_key_col(F.col("url")))
+
+
 # --- similarity search ------------------------------------------------------
 
 _COS_SQL = """

@@ -1,0 +1,110 @@
+"""CDX(J) index source: Common Crawl's per-capture URL index → the
+engine's frontier/ingest-planning relations.
+
+Common Crawl publishes, next to the WARC archives (sources/warc.py), a
+CDXJ index: one line per capture —
+
+    <SURT urlkey> <14-digit timestamp> <JSON blob>
+
+where the JSON carries ``url``, ``mime``, ``status``, ``digest``,
+``length``, ``offset``, ``filename`` (all values strings, numbers
+included). Bulk-ingesting a CC snapshot starts HERE, not at the WARCs:
+the index says which URLs exist, which capture is the latest, and at
+which (file, offset, length) its record lives — so the fetch plan is a
+pure DataFrame computation and only the selected byte ranges are ever
+read.
+
+Everything in this module is native Column algebra (``spark.read.text``
+→ one regexp split → ``from_json`` → casts): zero Python in the parse,
+so a 300-GB index shard-scan is a codegen-only stage. Malformed lines
+(the regexp or the JSON fails) surface as NULL url and are filterable,
+never job-fatal — the same per-row error isolation as the sitemap and
+WARC readers.
+
+``surt_key_col`` reproduces the urlkey's SURT form (scheme dropped,
+host labels reversed and comma-joined, ``)/`` separator, lowercased)
+for joining a url-keyed relation against the index; the documented
+subset skips CC's extra canonicalization (www-stripping, query-param
+sorting) which callers get from functions/urls.canonical_url_col.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CDX_LINE_RE = r"^(\S+) (\S+) (.*)$"
+
+CDX_JSON_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("mime", T.StringType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("digest", T.StringType()),
+    T.StructField("length", T.StringType()),
+    T.StructField("offset", T.StringType()),
+    T.StructField("filename", T.StringType()),
+])
+
+
+def parse_cdx_lines(lines: DataFrame,
+                    line_col: str = "value") -> DataFrame:
+    """(urlkey, ts, url, mime, status, digest, length, offset,
+    warc_filename) from raw CDXJ lines — one codegen projection."""
+    line = F.col(line_col)
+    urlkey = F.regexp_extract(line, CDX_LINE_RE, 1)
+    ts_str = F.regexp_extract(line, CDX_LINE_RE, 2)
+    blob = F.regexp_extract(line, CDX_LINE_RE, 3)
+    j = F.from_json(blob, CDX_JSON_SCHEMA)
+    return lines.select(
+        urlkey.alias("urlkey"),
+        # try_: a malformed line must yield NULLs, not an ANSI error
+        F.try_to_timestamp(ts_str, F.lit("yyyyMMddHHmmss")).alias("ts"),
+        j.getField("url").alias("url"),
+        j.getField("mime").alias("mime"),
+        j.getField("status").cast("int").alias("status"),
+        j.getField("digest").alias("digest"),
+        j.getField("length").cast("long").alias("length"),
+        j.getField("offset").cast("long").alias("offset"),
+        j.getField("filename").alias("warc_filename"))
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """CDXJ files (plain or .gz — Spark's text source gunzips) → the
+    parsed capture relation. One task per split; codegen end-to-end."""
+    return parse_cdx_lines(spark.read.text(path))
+
+
+def surt_key_col(url: Column) -> Column:
+    """SURT urlkey of a url: drop the scheme, reverse the host labels
+    and join with commas, append ``)/`` + path, lowercase — e.g.
+    ``http://sub.example.org/A/b`` → ``org,example,sub)/a/b``.
+    Documented subset: no www-stripping / query canonicalization
+    (compose with urls.canonical_url_col for those)."""
+    rest = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.lower(F.regexp_extract(rest, r"^([^/]*)", 1))
+    path = F.lower(F.regexp_replace(rest, r"^[^/]*", ""))
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    return F.concat(rev, F.lit(")"), F.when(path == "", "/")
+                    .otherwise(path))
+
+
+def latest_captures(cdx: DataFrame,
+                    statuses: tuple = (200,),
+                    mimes: tuple = ("text/html",)) -> DataFrame:
+    """The ingest plan: latest capture per url among the admissible
+    statuses/mimes — (url, ts, warc_filename, offset, length). ONE
+    map-side-combined aggregate on url (max_by ts); downstream groups
+    by warc_filename to read each archive's selected ranges in one
+    task. The multi-capture history stays behind for recrawl-rate
+    estimation (operators/incremental.recrawl_schedule)."""
+    adm = cdx.filter(F.col("status").isin(*statuses)
+                     & F.col("mime").isin(*mimes)
+                     & F.col("url").isNotNull())
+    pick = F.struct("ts", "warc_filename", "offset", "length")
+    return (adm.groupBy("url")
+            .agg(F.max_by(pick, F.col("ts")).alias("__c"))
+            .select("url", F.col("__c.ts").alias("ts"),
+                    F.col("__c.warc_filename").alias("warc_filename"),
+                    F.col("__c.offset").alias("offset"),
+                    F.col("__c.length").alias("length")))
