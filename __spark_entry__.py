@@ -1442,6 +1442,49 @@ def _priority_by_pagerank(spark, sf_dir):
             .select("host", "crawl_seq", "pr_r6"))
 
 
+def _domain_rollup_sql() -> str:
+    hits = {lang: _LANG_HIT.format(words=", ".join(
+        f"'{w}'" for w in ts.STOPWORDS[lang]))
+        for lang in ts.LANG_ORDER}
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS_SQL} AS t,
+    list_filter(string_split(text, chr(10)), ln -> trim(ln) <> '') AS lns
+  FROM documents),
+hits AS (SELECT doc_id, source, t, lns, {hits['en']} AS en,
+                {hits['de']} AS de, {hits['fr']} AS fr,
+                {hits['es']} AS es FROM toks),
+gates AS (SELECT source, len(t)::BIGINT AS n_tokens,
+  (en >= de AND en >= fr AND en >= es AND en > 0) AS is_en,
+  {_GOPHER_OK_SQL} AS gopher_ok,
+  (len(t) >= 2
+   AND (len(t) - 1 - len(list_distinct(
+          [t[i] || ' ' || t[i + 1] for i in range(1, len(t))]))) * 100
+       > 20 * (len(t) - 1)) AS repetitive
+  FROM hits)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS sum_tokens,
+       count(*) FILTER (is_en)::BIGINT AS n_en,
+       count(*) FILTER (gopher_ok)::BIGINT AS n_gopher_ok,
+       count(*) FILTER (repetitive)::BIGINT AS n_repetitive
+FROM gates GROUP BY source
+"""
+
+
+@_q("domain_quality_rollup", _domain_rollup_sql())
+def _domain_quality_rollup(spark, sf_dir):
+    """Per-domain quality dashboard: docs / tokens / english /
+    gopher-pass / repetitive counts per source — the rollup behind
+    domain-level blocklists in a CC-scale pipeline (drop a domain when
+    its pass-rate is pathological, cheaper and more robust than
+    per-doc decisions on template farms). Same single-scan gate
+    projection as curation_funnel, one map-side-combined aggregate on
+    the domain key — integer counts only, so the rollup is
+    hash-exact."""
+    from ftw_crawler_spark.operators.curation import domain_rollup
+    return domain_rollup(_t(spark, sf_dir, "documents"))
+
+
 @_q("cdx_ingest_plan", """
 SELECT 'http://sub' || (doc_id % 5) || '.example.org/Doc/' || doc_id
          AS url,

@@ -159,3 +159,43 @@ def quality_funnel(docs: DataFrame, text_col: str = "text",
             .groupBy("stage")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("__n").alias("sum_tokens")))
+
+
+def domain_rollup(docs: DataFrame, source_col: str = "source",
+                  text_col: str = "text",
+                  max_dup_pct: int = 20) -> DataFrame:
+    """Per-domain quality dashboard: (source, n_docs, sum_tokens, n_en,
+    n_gopher_ok, n_repetitive) — the aggregate behind domain-level
+    blocklists (drop a whole domain when its pass-rate is
+    pathological; cheaper and more robust at 100 TB than per-doc
+    decisions on template farms). ONE single-scan gate projection (the
+    same booleans as quality_funnel) + ONE map-side-combined aggregate
+    on the domain key; integer counts only, so the rollup is
+    hash-exact across engines."""
+    from ftw_crawler_spark.operators.textstats import (STOPWORDS,
+                                                       _gopher_cols)
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks).cast("long")
+    en = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS["en"])))
+    de = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS["de"])))
+    fr = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS["fr"])))
+    es = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS["es"])))
+    is_en = (en >= de) & (en >= fr) & (en >= es) & (en > 0)
+    gopher_ok = _gopher_cols(text_col)["gopher_ok"]
+    grams = shingles_col(toks, 2)
+    n_g = F.size(grams)
+    dup = n_g - F.size(F.array_distinct(grams))
+    repetitive = (n_g > 0) & (dup * 100 > F.lit(max_dup_pct) * n_g)
+    one = F.lit(1)
+    return (docs.select(F.col(source_col),
+                        n_tokens.alias("__n"),
+                        is_en.alias("__en"),
+                        gopher_ok.alias("__g"),
+                        repetitive.alias("__r"))
+            .groupBy(source_col)
+            .agg(F.count(one).alias("n_docs"),
+                 F.sum("__n").alias("sum_tokens"),
+                 F.count(F.when(F.col("__en"), one)).alias("n_en"),
+                 F.count(F.when(F.col("__g"), one)).alias("n_gopher_ok"),
+                 F.count(F.when(F.col("__r"), one))
+                 .alias("n_repetitive")))

@@ -156,3 +156,19 @@ def test_shared_window_pairs_exact_substring(spark):
     many = [(i, "template " + boiler) for i in range(10, 16)]
     df2 = spark.createDataFrame(many, "doc_id long, text string")
     assert dedup.shared_window_pairs(df2, w=9, max_df=3).count() == 0
+
+
+def test_domain_rollup_counts(spark):
+    from ftw_crawler_spark.operators.curation import domain_rollup
+    good = "the be " + " ".join(
+        f"alpha{i} bravo{i} charlie{i}" for i in range(20))
+    de = "der die das und ist ein zu den " * 4
+    df = spark.createDataFrame(
+        [(1, "a.example", good), (2, "a.example", de),
+         (3, "b.example", good)],
+        "doc_id long, source string, text string")
+    got = {r["source"]: r for r in domain_rollup(df).collect()}
+    a, b = got["a.example"], got["b.example"]
+    assert a["n_docs"] == 2 and a["n_en"] == 1 and a["n_gopher_ok"] == 1
+    assert b["n_docs"] == 1 and b["n_gopher_ok"] == 1
+    assert a["n_repetitive"] == 1  # the de doc repeats its 8 bigrams
