@@ -111,8 +111,10 @@ def _wait_quiet(threshold: float = 0.6, max_wait: int = 240) -> None:
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--steady-only"]
+    argv = [a for a in sys.argv[1:]
+            if a not in ("--steady-only", "--pipeline-only")]
     steady_only = "--steady-only" in sys.argv[1:]
+    pipeline_only = "--pipeline-only" in sys.argv[1:]
     lo, hi = 8, 32
     for a in list(argv):
         if a.startswith("--levels"):
@@ -134,8 +136,12 @@ def main() -> int:
         env=env, cwd=REPO, check=True, capture_output=True)
 
     result: dict = {"n_urls": n_urls}
-    phases = (("extract", "steady_state"),) if steady_only else \
-        (("crawl", "pipeline"), ("extract", "steady_state"))
+    if steady_only:
+        phases: tuple = (("extract", "steady_state"),)
+    elif pipeline_only:
+        phases = (("crawl", "pipeline"),)
+    else:
+        phases = (("crawl", "pipeline"), ("extract", "steady_state"))
     for mode, key in phases:
         # Measure the 32-thread level FIRST: host loadavg is 1-minute
         # and includes each phase's own exhaust, and ambient load
