@@ -1343,19 +1343,12 @@ FROM {prev} p LEFT JOIN od ON od.src = p.node
     return "".join(parts)
 
 
-@_q("linkgraph_pagerank", _linkgraph_sql())
-def _linkgraph_pagerank(spark, sf_dir):
-    """Link-graph centrality as a corpus-quality signal (new surface —
-    the reference is sitemap-driven and never parses anchors): degrees
-    + 3-round PageRank over a deterministic hash-derived edge relation
-    on ``documents`` (each doc links to 0-3 md5-derived neighbors).
-    The anchor-EXTRACTION half of the family (a DOM parse, not
-    SQL-expressible) is pinned by tests/test_linkgraph.py; this query
-    bit-checks the iterative numeric core against the unrolled oracle
-    CTEs — decimal-exact contribution sums, uniform dangling
-    redistribution, one shuffle per round."""
-    from ftw_crawler_spark.operators import linkgraph as lg
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+def _hash_graph(docs):
+    """The deterministic md5-derived edge relation over ``documents``
+    (each doc links to 0-3 hash-chosen neighbors) — ONE definition
+    shared by linkgraph_pagerank and priority_by_pagerank so the
+    Spark side can never drift from the shared unrolled-CTE oracle
+    (_linkgraph_sql). Returns (nodes, edges)."""
     n = docs.count()
     did = F.col("doc_id").cast("string")
     n_links = F.pmod(dedup.md5_long(F.concat(F.lit("n:"), did)), F.lit(4))
@@ -1370,7 +1363,23 @@ def _linkgraph_pagerank(spark, sf_dir):
                          F.lit(n)).alias("dst")))
     edges = links.filter(F.col("src") != F.col("dst")).distinct() \
         .localCheckpoint(eager=False)
-    nodes = docs.withColumnRenamed("doc_id", "node")
+    return docs.withColumnRenamed("doc_id", "node"), edges
+
+
+@_q("linkgraph_pagerank", _linkgraph_sql())
+def _linkgraph_pagerank(spark, sf_dir):
+    """Link-graph centrality as a corpus-quality signal (new surface —
+    the reference is sitemap-driven and never parses anchors): degrees
+    + 3-round PageRank over a deterministic hash-derived edge relation
+    on ``documents`` (each doc links to 0-3 md5-derived neighbors).
+    The anchor-EXTRACTION half of the family (a DOM parse, not
+    SQL-expressible) is pinned by tests/test_linkgraph.py; this query
+    bit-checks the iterative numeric core against the unrolled oracle
+    CTEs — decimal-exact contribution sums, uniform dangling
+    redistribution, one shuffle per round."""
+    from ftw_crawler_spark.operators import linkgraph as lg
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    nodes, edges = _hash_graph(docs)
     deg = lg.degrees(nodes, edges, "node", src="src", dst="dst")
     pr = lg.pagerank(nodes, edges, "node", src="src", dst="dst",
                      n_iter=3, damping=_LG_DAMP)
@@ -1411,21 +1420,7 @@ def _priority_by_pagerank(spark, sf_dir):
     from ftw_crawler_spark.operators import linkgraph as lg
     from ftw_crawler_spark.operators.politeness import select_batch
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    n = docs.count()
-    did = F.col("doc_id").cast("string")
-    n_links = F.pmod(dedup.md5_long(F.concat(F.lit("n:"), did)), F.lit(4))
-    links = (docs
-             .withColumn("__nl", n_links)
-             .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(2))))
-             .filter(F.col("j") < F.col("__nl"))
-             .select(F.col("doc_id").alias("src"),
-                     F.pmod(dedup.md5_long(F.concat(
-                         F.lit("e:"), did, F.lit(":"),
-                         F.col("j").cast("string"))),
-                         F.lit(n)).alias("dst")))
-    edges = links.filter(F.col("src") != F.col("dst")).distinct() \
-        .localCheckpoint(eager=False)
-    nodes = docs.withColumnRenamed("doc_id", "node")
+    nodes, edges = _hash_graph(docs)
     pr = lg.pagerank(nodes, edges, "node", src="src", dst="dst",
                      n_iter=3, damping=_LG_DAMP)
     frontier = pr.select(

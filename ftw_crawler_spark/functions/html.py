@@ -167,9 +167,13 @@ class _Bail(Exception):
 
 # stdlib html.parser's own token regexes are imported at module top and
 # reused verbatim so the fast path is token-identical where it runs
+# exactly HTMLParser.set_cdata_mode's pattern: the close must include
+# its '>' — '</script x>' or a bare '</script' prefix is DATA, not a
+# close (divergence here produced a different DOM; pinned by the
+# cdata cases in test_fast_parser_matches_stdlib)
 _CDATA_CLOSE = {
-    "script": re.compile(r"</\s*script", re.IGNORECASE),
-    "style": re.compile(r"</\s*style", re.IGNORECASE),
+    "script": re.compile(r"</\s*script\s*>", re.IGNORECASE),
+    "style": re.compile(r"</\s*style\s*>", re.IGNORECASE),
 }
 _LETTERS = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
@@ -252,27 +256,19 @@ def _fast_feed(s: str, b: "_TreeBuilder") -> None:
             b.handle_starttag(tag, attrs)
             i = endpos
             if tag in _CDATA_CLOSE:
-                # --- cdata mode: raw data until the matching endtag ---
-                cd = _CDATA_CLOSE[tag]
-                while True:
-                    m2 = cd.search(s, i)
-                    if not m2:
-                        raise _Bail  # unterminated script/style
-                    j3 = m2.start()
-                    if j3 > i:
-                        handle_data(s[i:j3])  # raw: no charref convert
-                    gm = endendtag.search(s, j3 + 1)
-                    if not gm:
-                        raise _Bail
-                    gtpos = gm.end()
-                    em = endtagfind.match(s, j3)
-                    if not em or em.group(1).lower() != tag:
-                        handle_data(s[j3:gtpos])
-                        i = gtpos
-                        continue
-                    b.handle_endtag(tag)
-                    i = gtpos
-                    break
+                # --- cdata mode: raw data until the FULL close tag
+                # ('</\s*tag\s*>', HTMLParser.set_cdata_mode) — a bare
+                # '</tag' prefix without its '>' is data. The matched
+                # span contains exactly one '>' (its last char), so the
+                # stdlib's parse_endtag on this position always closes
+                # this element at m2.end().
+                m2 = _CDATA_CLOSE[tag].search(s, i)
+                if not m2:
+                    raise _Bail  # unterminated script/style
+                if m2.start() > i:
+                    handle_data(s[i:m2.start()])  # raw: no charrefs
+                b.handle_endtag(tag)
+                i = m2.end()
         elif startswith("</", i):
             # --- parse_endtag (non-cdata) ---
             gm = endendtag.search(s, i + 1)

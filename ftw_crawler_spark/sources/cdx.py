@@ -76,25 +76,36 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
 
 
 def surt_key_col(url: Column) -> Column:
-    """SURT urlkey of a url: drop the scheme, reverse the host labels
-    and join with commas, append ``)/`` + path, lowercase — e.g.
-    ``http://sub.example.org/A/b`` → ``org,example,sub)/a/b``.
-    Documented subset: no www-stripping / query canonicalization
-    (compose with urls.canonical_url_col for those)."""
+    """SURT urlkey of a url: drop the scheme and userinfo, reverse the
+    host labels and join with commas, keep the port after the reversed
+    labels, append ``)`` + path-and-query, lowercase — e.g.
+    ``http://u:p@sub.example.org:8080/A/b?Q=1`` →
+    ``org,example,sub:8080)/a/b?q=1``, ``http://example.org?x=1`` →
+    ``org,example)/?x=1``. Documented subset: no www-stripping / query
+    param sorting (compose with urls.canonical_url_col for those)."""
     rest = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    host = F.lower(F.regexp_extract(rest, r"^([^/]*)", 1))
-    path = F.lower(F.regexp_replace(rest, r"^[^/]*", ""))
+    # authority = up to the first '/' or '?'; path/query = the rest
+    auth = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    path = F.lower(F.regexp_replace(rest, r"^[^/?]*", ""))
+    hostport = F.lower(F.regexp_replace(auth, r"^[^@]*@", ""))
+    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    port = F.regexp_extract(hostport, r"^[^:]*(:.*)?$", 1)
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
-    return F.concat(rev, F.lit(")"), F.when(path == "", "/")
-                    .otherwise(path))
+    # a path-less url gets the root '/'; a query-only one gets '/?...'
+    norm_path = (F.when(path == "", F.lit("/"))
+                 .when(path.startswith("?"), F.concat(F.lit("/"), path))
+                 .otherwise(path))
+    return F.concat(rev, port, F.lit(")"), norm_path)
 
 
 def latest_captures(cdx: DataFrame,
                     statuses: tuple = (200,),
                     mimes: tuple = ("text/html",)) -> DataFrame:
     """The ingest plan: latest capture per url among the admissible
-    statuses/mimes — (url, ts, warc_filename, offset, length). ONE
-    map-side-combined aggregate on url (max_by ts); downstream groups
+    statuses/mimes — (url, ts, warc_filename, offset, length), ties on
+    the 1-second timestamp broken by (warc_filename, offset) so the
+    plan is deterministic. ONE map-side-combined aggregate on url
+    (struct max); downstream groups
     by warc_filename to read each archive's selected ranges in one
     task. The multi-capture history stays behind for recrawl-rate
     estimation (operators/incremental.recrawl_schedule)."""
@@ -102,8 +113,12 @@ def latest_captures(cdx: DataFrame,
                      & F.col("mime").isin(*mimes)
                      & F.col("url").isNotNull())
     pick = F.struct("ts", "warc_filename", "offset", "length")
+    # max over the full struct, not max_by(ts): CDX timestamps have
+    # 1-second resolution, so two captures of one url can share a ts —
+    # the (warc_filename, offset) tiebreak keeps the plan a pure
+    # function of the index contents (no task-order dependence)
     return (adm.groupBy("url")
-            .agg(F.max_by(pick, F.col("ts")).alias("__c"))
+            .agg(F.max(pick).alias("__c"))
             .select("url", F.col("__c.ts").alias("ts"),
                     F.col("__c.warc_filename").alias("warc_filename"),
                     F.col("__c.offset").alias("offset"),

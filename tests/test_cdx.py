@@ -44,6 +44,23 @@ def test_parse_and_latest_plan(spark):
     assert a["length"] == 120
 
 
+def test_latest_captures_same_second_tiebreak(spark):
+    """CDX timestamps are 1-second resolution: a same-ts pair must pick
+    deterministically (max over the full struct), independent of
+    partitioning."""
+    tmpl = ('org,example)/t 20260101120000 {{"url": "http://example.org/t", '
+            '"mime": "text/html", "status": "200", "digest": "sha1:{d}", '
+            '"length": "10", "offset": "{o}", "filename": "{f}"}}')
+    lines = [(tmpl.format(d="AA", o="5", f="fa.warc.gz"),),
+             (tmpl.format(d="BB", o="7", f="fb.warc.gz"),)]
+    df = spark.createDataFrame(lines, "value string")
+    a = cdx.latest_captures(cdx.parse_cdx_lines(df)).collect()[0]
+    b = cdx.latest_captures(
+        cdx.parse_cdx_lines(df.repartition(5))).collect()[0]
+    assert (a["warc_filename"], a["offset"]) == ("fb.warc.gz", 7)
+    assert (b["warc_filename"], b["offset"]) == ("fb.warc.gz", 7)
+
+
 def test_read_cdx_gzip(spark, tmp_path):
     d = tmp_path / "cdx"
     os.makedirs(d)
@@ -58,9 +75,16 @@ def test_surt_key_forms(spark):
     df = spark.createDataFrame(
         [("http://sub.Example.ORG/A/b?Q=1",),
          ("https://example.org",),
-         ("http://example.org/",)], "url string")
+         ("http://example.org/",),
+         ("http://example.org:8080/a",),      # port stays after labels
+         ("http://user:pw@example.org/a",),   # userinfo stripped
+         ("http://example.org?x=1",)],        # query-only → '/?...'
+        "url string")
     got = [r["k"] for r in
            df.select(cdx.surt_key_col(F.col("url")).alias("k")).collect()]
     assert got == ["org,example,sub)/a/b?q=1",
                    "org,example)/",
-                   "org,example)/"]
+                   "org,example)/",
+                   "org,example:8080)/a",
+                   "org,example)/a",
+                   "org,example)/?x=1"]

@@ -232,6 +232,12 @@ def test_fast_parser_matches_stdlib():
         "<html><head><title>T&amp;T</title><meta name=a content='x&gt;'>"
         "</head><body><h1 class=big>H</h1><p>a<b>c</p></body></html>",
         "<script>if (a<b && c>d) { '</div>' }</script>after",
+        # cdata closes: '</tag' without its '>' is DATA (the stdlib
+        # pattern is '</\\s*tag\\s*>'); a junk close must not swallow
+        # the genuine one
+        "<style>a</style b </style><a href='http://x/'>L</a></style>",
+        "<script>x </script y </script> alert(1) </script>",
+        "<script>\"</scriptish>\"</script>done",
         "<STYLE>a>b{}</STyLE><p>x",
         "<!doctype html><!-- c --><?pi?><div/>text</div>",
         "plain & text < 5 > 3 &#65;&#xE9;&notanentity;",

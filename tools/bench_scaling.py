@@ -120,8 +120,14 @@ def main() -> int:
         if a.startswith("--levels"):
             i = argv.index(a)
             argv.remove(a)
-            spec = a.split("=", 1)[1] if "=" in a else argv.pop(i)
-            lo, hi = (int(x) for x in spec.split(","))
+            try:
+                spec = a.split("=", 1)[1] if "=" in a else argv.pop(i)
+                lo, hi = (int(x) for x in spec.split(","))
+            except (IndexError, ValueError):
+                print("usage: bench_scaling.py [n_urls] [--steady-only]"
+                      " [--pipeline-only] [--levels N,M]",
+                      file=sys.stderr)
+                return 2
     n_urls = int(argv[0]) if argv else 300_000
     # generate the world once so neither timed run pays for it
     env = dict(os.environ)
