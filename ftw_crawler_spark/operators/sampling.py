@@ -77,7 +77,8 @@ def mixture_sample(df: DataFrame, source_col: str, key_col: str,
     corpus-wide shuffle), then applied as the same deterministic
     hash filter as ``hash_sample``. Σ c^α accumulates in DECIMAL after
     a round(·, 6) pin so the sum is order-independent and
-    engine-identical; the final probability is pinned to ppm with
+    engine-identical (a 1-row aggregate broadcast back, never an
+    all-rows window); the final probability is pinned to ppm with
     floor(round(·, 6)·1e6) on both engines (Spark cast truncates,
     DuckDB's rounds — floor() avoids the mismatch).
 
@@ -86,10 +87,13 @@ def mixture_sample(df: DataFrame, source_col: str, key_col: str,
     counts = df.groupBy(source_col).agg(
         F.count(F.lit(1)).cast("long").alias("__c"))
     term = _pow_quarters(F.col("__c").cast("double"), alpha_quarters)
-    w_all = Window.partitionBy()
-    weights = (counts
-               .withColumn("__t", F.round(term, 6).cast("decimal(38,6)"))
-               .withColumn("__W", F.sum("__t").over(w_all))
+    terms = counts.withColumn("__t",
+                              F.round(term, 6).cast("decimal(38,6)"))
+    # Σ c^α as a 1-row aggregate broadcast back — NOT an
+    # all-rows window, which would funnel every source through one
+    # task at web scale (millions of registrable domains)
+    total = terms.agg(F.sum("__t").alias("__W"))
+    weights = (terms.crossJoin(F.broadcast(total))
                .withColumn(
                    "p_ppm",
                    F.floor(F.round(
