@@ -1437,6 +1437,55 @@ def _priority_by_pagerank(spark, sf_dir):
             .select("host", "crawl_seq", "pr_r6"))
 
 
+@_q("curation_line_dedup", """
+WITH src AS (
+  SELECT doc_id,
+    'nav: home | about | contact' || chr(10) ||
+    'id-' || doc_id || chr(10) ||
+    CASE WHEN doc_id % 2 = 0 THEN 'footer: terms apply'
+         ELSE substr(text, 1, 50) END || chr(10) || text AS text
+  FROM documents),
+lns AS (SELECT doc_id,
+          list_filter(string_split(text, chr(10)),
+                      x -> trim(x) <> '') AS l FROM src),
+ex AS (SELECT doc_id,
+         unnest(list_transform(range(1, len(l) + 1),
+                i -> {'idx': i - 1, 'line': l[i]})) AS s
+       FROM lns),
+flat AS (SELECT doc_id, s.idx AS idx, s.line AS line FROM ex),
+kept AS (SELECT doc_id, idx, line FROM (
+  SELECT doc_id, idx, line,
+         row_number() OVER (PARTITION BY line
+                            ORDER BY doc_id, idx) AS rn
+  FROM flat) WHERE rn = 1)
+SELECT d.doc_id,
+       coalesce(k.text_dedup, '') AS text_dedup
+FROM documents d LEFT JOIN (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text_dedup
+  FROM kept GROUP BY doc_id) k USING (doc_id)
+""")
+def _curation_line_dedup(spark, sf_dir):
+    """C4-style cross-corpus line dedup (Raffel et al. 2020): a line
+    occurring anywhere else in the corpus keeps exactly one occurrence
+    — the (min doc, min idx) one, the scale-safe stand-in for C4's
+    order-dependent 'first' — and documents are reassembled in line
+    order. Multi-line docs with shared nav/footer boilerplate are
+    synthesized deterministically (the corpus is single-line); the
+    oracle recomputes the policy with a window and hash-compares the
+    rebuilt text byte-for-byte."""
+    from ftw_crawler_spark.operators.curation import drop_repeated_lines
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    text2 = F.concat(
+        F.lit("nav: home | about | contact\n"),
+        F.lit("id-"), did.cast("string"), F.lit("\n"),
+        F.when(did % 2 == 0, F.lit("footer: terms apply"))
+        .otherwise(F.substring("text", 1, 50)),
+        F.lit("\n"), F.col("text"))
+    src = d.select("doc_id", text2.alias("text"))
+    return drop_repeated_lines(src)
+
+
 def _domain_rollup_sql() -> str:
     hits = {lang: _LANG_HIT.format(words=", ".join(
         f"'{w}'" for w in ts.STOPWORDS[lang]))

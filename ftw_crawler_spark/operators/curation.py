@@ -199,3 +199,42 @@ def domain_rollup(docs: DataFrame, source_col: str = "source",
                  F.count(F.when(F.col("__g"), one)).alias("n_gopher_ok"),
                  F.count(F.when(F.col("__r"), one))
                  .alias("n_repetitive")))
+
+
+def drop_repeated_lines(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """C4-style cross-corpus line deduplication (Raffel et al. 2020:
+    "we removed any line that occurred more than once in the data
+    set"): every distinct non-empty line keeps exactly ONE occurrence
+    corpus-wide and all others are deleted; each document's surviving
+    lines are reassembled in original order as ``text_dedup``.
+
+    C4's "first occurrence" presumes a corpus order — a global-sort
+    trap at 100 TB. The scale-safe equivalent keeps the occurrence
+    with the smallest (doc, line-index) pair via a min-struct
+    aggregate: same determinism guarantee (a pure function of the
+    corpus, no task-order dependence), no corpus-wide sort. Shape:
+    posexplode lines → min(struct) per line (map-side combined) →
+    equality filter (uniform-key hash join on the line) → per-doc
+    reassembly (array_sort over collected (idx, line) structs — one
+    doc's lines in one task, never the corpus). Documents whose every
+    line was deleted come back with ''."""
+    lines = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda ln: F.trim(ln) != "")
+    ex = (docs.select(F.col(id_col), F.posexplode(lines))
+          .withColumnRenamed("pos", "idx")
+          .withColumnRenamed("col", "line"))
+    win = ex.groupBy("line").agg(
+        F.min(F.struct(id_col, "idx")).alias("__w"))
+    kept = (ex.join(win, "line")
+            .filter((F.col(f"__w.{id_col}") == F.col(id_col))
+                    & (F.col("__w.idx") == F.col("idx"))))
+    out = (kept.groupBy(id_col)
+           .agg(F.array_join(
+               F.transform(
+                   F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                   lambda x: x.getField("line")), "\n")
+               .alias("text_dedup")))
+    return (docs.select(id_col).join(out, id_col, "left")
+            .select(id_col, F.coalesce("text_dedup", F.lit(""))
+                    .alias("text_dedup")))

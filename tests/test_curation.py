@@ -172,3 +172,34 @@ def test_domain_rollup_counts(spark):
     assert a["n_docs"] == 2 and a["n_en"] == 1 and a["n_gopher_ok"] == 1
     assert b["n_docs"] == 1 and b["n_gopher_ok"] == 1
     assert a["n_repetitive"] == 1  # the de doc repeats its 8 bigrams
+
+
+def test_drop_repeated_lines_policy(spark):
+    """Winner = (min doc, min idx) occurrence; unique lines survive;
+    fully-boilerplate docs come back empty; order preserved."""
+    from ftw_crawler_spark.operators.curation import drop_repeated_lines
+    df = spark.createDataFrame(
+        [(1, "shared nav\nunique one\nshared nav"),
+         (2, "shared nav\nunique two"),
+         (3, "shared nav")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["text_dedup"]
+           for r in drop_repeated_lines(df).collect()}
+    # doc 1 keeps the first 'shared nav' (idx 0) and its unique line;
+    # its OWN second occurrence (idx 2) and docs 2/3's copies are gone
+    assert got == {1: "shared nav\nunique one",
+                   2: "unique two",
+                   3: ""}
+
+
+def test_drop_repeated_lines_partition_invariant(spark):
+    from ftw_crawler_spark.operators.curation import drop_repeated_lines
+    rows = [(i, f"boiler\nline-{i % 7}\ntail-{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["text_dedup"]
+         for r in drop_repeated_lines(df).collect()}
+    b = {r["doc_id"]: r["text_dedup"]
+         for r in drop_repeated_lines(df.repartition(11)).collect()}
+    assert a == b
+    assert a[0] == "boiler\nline-0\ntail-0"  # min-(doc,idx) winner
+    assert a[7] == "tail-7"  # its boiler and line-0 lost to doc 0
