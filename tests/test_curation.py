@@ -203,3 +203,28 @@ def test_drop_repeated_lines_partition_invariant(spark):
     assert a == b
     assert a[0] == "boiler\nline-0\ntail-0"  # min-(doc,idx) winner
     assert a[7] == "tail-7"  # its boiler and line-0 lost to doc 0
+
+
+def test_recrawl_schedule_floors_subsecond(spark):
+    """Fractional-second timestamps floor to whole epoch seconds (the
+    oracle pins floor(epoch(ts)) — Spark's unix_timestamp must agree)."""
+    from datetime import datetime
+
+    from ftw_crawler_spark.operators.incremental import recrawl_schedule
+    df = spark.createDataFrame(
+        [("a", datetime(2026, 1, 1, 0, 0, 0, 900000)),   # .9s → floor
+         ("a", datetime(2026, 1, 1, 0, 0, 10, 100000))],  # 10.1s → 10
+        "url string, ts timestamp")
+    a = recrawl_schedule(df).collect()[0]
+    assert a["last_epoch"] - a["first_epoch"] == 10
+    assert a["interval_s"] == 10
+
+
+def test_mixture_sample_single_source_caps_at_one(spark):
+    from ftw_crawler_spark.operators.sampling import mixture_sample
+    df = spark.createDataFrame([(i, "only") for i in range(30)],
+                               "doc_id long, source string")
+    # target above the corpus size: p capped at 1.0 → everything kept
+    out = mixture_sample(df, "source", "doc_id", target_rows=100)
+    assert out.count() == 30
+    assert out.select("p_ppm").distinct().collect()[0][0] == 1_000_000
