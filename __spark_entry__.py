@@ -1437,6 +1437,70 @@ def _priority_by_pagerank(spark, sf_dir):
             .select("host", "crawl_seq", "pr_r6"))
 
 
+@_q("url_trap_detection", """
+WITH urls AS (
+  SELECT doc_id,
+    'http://h' || (doc_id % 5) || '.example.org' ||
+    CASE doc_id % 4
+      WHEN 0 THEN '/sec/x/sec/x/sec/'
+      WHEN 1 THEN '/s1/s2/s3/s4/s5/s6/s7/s8/s9/s10/s11/s12/s13'
+      WHEN 2 THEN '/q?p1=1&p2=2&p3=3&p4=4&p5=5&p6=6&p7=7&p8=8&p9=9'
+      ELSE '/page/' || doc_id || '?id=' || doc_id
+    END AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id, url,
+    regexp_replace(regexp_extract(
+      regexp_replace(regexp_replace(url, '#.*', ''),
+                     '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+      '^[^?]*', 0), '^[^/]*', '') AS path,
+    regexp_extract(regexp_replace(regexp_replace(url, '#.*', ''),
+                   '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                   '\\?(.*)$', 1) AS query
+  FROM urls),
+segs AS (
+  SELECT doc_id, url,
+    list_filter(string_split(path, '/'), x -> x <> '') AS s,
+    query
+  FROM parts)
+SELECT doc_id, url,
+  len(s)::BIGINT AS depth,
+  (CASE WHEN query = '' THEN 0
+        ELSE len(string_split(query, '&')) END)::BIGINT AS n_params,
+  len(list_filter(list_distinct(s),
+      q -> len(list_filter(s, x -> x = q)) >= 3)) > 0 AS has_loop,
+  (len(list_filter(list_distinct(s),
+       q -> len(list_filter(s, x -> x = q)) >= 3)) > 0
+   OR len(s) > 12
+   OR (CASE WHEN query = '' THEN 0
+            ELSE len(string_split(query, '&')) END) > 8) AS trap
+FROM segs
+""")
+def _url_trap_detection(spark, sf_dir):
+    """Crawler-trap gate over a synthesized frontier (loop paths, 13-
+    deep machine paths, 9-param explosions, benign pages): per-URL
+    depth/params/loop signals and the combined trap flag — pure
+    codegen, the pre-seen-filter guard that stops a 10^10-URL crawl
+    from sinking budget into auto-generated URL spaces."""
+    from ftw_crawler_spark.functions.urls import url_trap_cols
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://h"), (did % 5).cast("string"),
+        F.lit(".example.org"),
+        F.when(did % 4 == 0, F.lit("/sec/x/sec/x/sec/"))
+        .when(did % 4 == 1,
+              F.lit("/s1/s2/s3/s4/s5/s6/s7/s8/s9/s10/s11/s12/s13"))
+        .when(did % 4 == 2,
+              F.lit("/q?p1=1&p2=2&p3=3&p4=4&p5=5&p6=6&p7=7&p8=8&p9=9"))
+        .otherwise(F.concat(F.lit("/page/"), did.cast("string"),
+                            F.lit("?id="), did.cast("string"))))
+    flags = url_trap_cols(F.col("url"))
+    return (d.select("doc_id", url.alias("url"))
+            .select("doc_id", "url",
+                    *[c.alias(n) for n, c in flags.items()]))
+
+
 @_q("curation_line_dedup", """
 WITH src AS (
   SELECT doc_id,

@@ -52,3 +52,35 @@ def canonical_url_col(url: Column) -> Column:
     return F.concat(
         scheme, F.lit("://"), host, path,
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")))
+
+
+def url_trap_cols(url: Column) -> dict:
+    """Crawler-trap signals for a frontier URL — the guard that stops a
+    10^10-URL crawl from sinking budget into auto-generated URL spaces
+    (session-id mazes, calendar pages, path loops). Classic signals,
+    each a pure codegen Column (no UDF, no shuffle):
+
+    - ``depth``: number of non-empty path segments (deep machine paths)
+    - ``n_params``: query parameter count (parameter-explosion traps)
+    - ``has_loop``: some path segment repeats >= 3 times — the loop
+      trap a relative-link cycle produces (``/a/b/a/b/a/b``)
+    - ``trap``: the combined gate (loop OR depth > 12 OR params > 8)
+
+    All integer/boolean, reproducible in SQL for the oracle gate.
+    Composes with the canonical form: run on canonical_url_col(url)
+    so alias variants don't dodge the gate."""
+    rest = F.regexp_replace(F.regexp_replace(url, "#.*", ""),
+                            _SCHEME_RE, "")
+    path = F.regexp_replace(F.regexp_extract(rest, "^[^?]*", 0),
+                            "^[^/]*", "")
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    depth = F.size(segs).cast("long")
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))).cast("long")
+    has_loop = F.exists(
+        F.array_distinct(segs),
+        lambda s: F.size(F.filter(segs, lambda x: x == s)) >= 3)
+    trap = has_loop | (depth > 12) | (n_params > 8)
+    return {"depth": depth, "n_params": n_params,
+            "has_loop": has_loop, "trap": trap}

@@ -34,3 +34,27 @@ def canon(spark):
 @pytest.mark.parametrize("url,expected", CASES)
 def test_canonical_golden(canon, url, expected):
     assert canon[url] == expected
+
+
+def test_url_trap_cols_signals(spark):
+    import pyspark.sql.functions as F
+
+    from ftw_crawler_spark.functions.urls import url_trap_cols
+    df = spark.createDataFrame(
+        [(1, "http://h.example/a/b/a/b/a"),              # loop: 'a'×3
+         (2, "http://h.example/" + "/".join(
+             f"s{i}" for i in range(13))),               # depth 13
+         (3, "http://h.example/q?" + "&".join(
+             f"p{i}={i}" for i in range(9))),            # 9 params
+         (4, "http://h.example/page/7?id=7"),            # benign
+         (5, "http://h.example/")],                      # root
+        "id long, url string")
+    flags = url_trap_cols(F.col("url"))
+    got = {r["id"]: r for r in df.select(
+        "id", *[c.alias(n) for n, c in flags.items()]).collect()}
+    assert got[1]["has_loop"] and got[1]["trap"]
+    assert got[2]["depth"] == 13 and got[2]["trap"] \
+        and not got[2]["has_loop"]
+    assert got[3]["n_params"] == 9 and got[3]["trap"]
+    assert not got[4]["trap"] and got[4]["n_params"] == 1
+    assert got[5]["depth"] == 0 and not got[5]["trap"]
