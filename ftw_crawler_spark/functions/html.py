@@ -27,10 +27,24 @@ from __future__ import annotations
 
 import re
 from html import unescape as _unescape
-from html.parser import (HTMLParser, attrfind_tolerant, commentclose,
-                         endendtag, endtagfind,
-                         locatestarttagend_tolerant, piclose,
-                         tagfind_tolerant)
+from html.parser import HTMLParser
+
+# The fast tokenizer (_fast_feed) reuses html.parser's PRIVATE compiled
+# regexes so its tokenization is call-identical to the stdlib where it
+# runs. Those names are implementation details: CPython's html.parser
+# security rewrites have renamed/retired such internals before, so any
+# missing name disables the fast path entirely (parse_html then always
+# takes the stdlib reparse branch — slower, never wrong). Verified
+# against CPython 3.10–3.13; an interpreter bump MUST re-run
+# ``python tools/sweep_parser.py`` (297k-page identity sweep) before
+# trusting the fast path again.
+try:
+    from html.parser import (attrfind_tolerant, commentclose, endendtag,
+                             endtagfind, locatestarttagend_tolerant,
+                             piclose, tagfind_tolerant)
+    _FAST_PARSER_OK = True
+except ImportError:   # stdlib internals moved — force the stdlib path
+    _FAST_PARSER_OK = False
 
 MARKUP_TYPES = ("application/xml", "application/xhtml+xml", "text/xml",
                 "text/html")  # reference: ftw/crawler/xml_utils/__init__.py:5-7
@@ -324,12 +338,14 @@ def parse_html(data: bytes | str) -> Node:
     if isinstance(data, bytes):
         data = data.decode(sniff_encoding(data))
     builder = _TreeBuilder()
-    try:
-        _fast_feed(data, builder)
-    except _Bail:
-        builder = _TreeBuilder()
-        builder.feed(data)
-        builder.close()
+    if _FAST_PARSER_OK:
+        try:
+            _fast_feed(data, builder)
+            return builder.root
+        except _Bail:
+            builder = _TreeBuilder()
+    builder.feed(data)
+    builder.close()
     return builder.root
 
 

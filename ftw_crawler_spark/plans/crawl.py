@@ -220,267 +220,287 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
               compact_min_bytes: int = 256 << 20) -> CrawlResult:
     sites = sites if sites is not None else default_sites()
     config = config or cfg.default_config()
-    world = _load_world(spark, world_dir, pages_table=pages_table)
-    sink = IndexSink(spark, os.path.join(out_dir, "index"))
-    ckpt_root = os.path.join(out_dir, "checkpoints")
-    os.makedirs(ckpt_root, exist_ok=True)
-    meta_path = os.path.join(out_dir, "run_meta.json")
+    # background writers (checkpoint / purge / schedule-prefetch): kept
+    # at function scope so the error paths below can join whatever is
+    # outstanding — a daemon writer must never race interpreter
+    # teardown mid-parquet-write, and its failure must never be
+    # silently dropped behind the primary exception
+    purge_writer = ckpt_writer = pending = None
+    try:
+        world = _load_world(spark, world_dir, pages_table=pages_table)
+        sink = IndexSink(spark, os.path.join(out_dir, "index"))
+        ckpt_root = os.path.join(out_dir, "checkpoints")
+        os.makedirs(ckpt_root, exist_ok=True)
+        meta_path = os.path.join(out_dir, "run_meta.json")
 
-    # F1: single-URL mode skips non-matching sites (main.py:76-78)
-    if url:
-        sites = [s for s in sites if url.startswith(s.url)]
-
-    committed = _committed_batches(ckpt_root)
-    resuming = resume and bool(committed)
-
-    if resuming:
-        with open(meta_path) as fh:
-            meta = json.load(fh)
-        crawl_time = datetime.fromisoformat(meta["crawl_time"])
-        last = committed[-1]
-        remaining, host_state, last_full = _resume_state(
-            spark, ckpt_root, committed)
-        metrics = meta.get("metrics", [])
-        start_batch = last + 1
-        ckpt_writer = None
-    else:
-        crawl_time = crawl_time or DEFAULT_CRAWL_TIME
-        with open(meta_path, "w") as fh:
-            json.dump({"crawl_time": crawl_time.isoformat(),
-                       "metrics": []}, fh)
-        metrics = []
-        start_batch = 0
-
-        t0 = time.perf_counter()
-        sink.write_base_files(f"{world_dir}/index0.parquet")
-        sdf = sites_df(spark, sites)
-
-        # P2 per-site error isolation (main.py:80-88): a site whose
-        # sitemap discovery fails is recorded and skipped; the rest of
-        # the run proceeds. The error metrics row is the analog of the
-        # reference's failure notification (slack.py:15-61).
-        site_errors: list = []
-        scratch: list = []
-        frontier = build_frontier(spark, sites, world["sitemaps"],
-                                  errors=site_errors,
-                                  scratch=scratch).cache()
-        for err in site_errors:
-            metrics.append({"batch": -1, "event": "site_error", **err})
-
-        # purge BEFORE crawling, on the full sitemap membership even in
-        # single-URL mode (main.py:102 runs before the URL filter) —
-        # but ONLY for sites whose sitemaps resolved: the reference
-        # purges inside the per-site try block, so a dead site's docs
-        # are never purged (its membership is unknown, not empty)
-        failed_ids = {e["site_id"] for e in site_errors}
-        ok_sdf = sites_df(
-            spark, [s for s in sites if s.site_id not in failed_ids])
-        purged = purge_candidates(sink.current(), ok_sdf, frontier)
-        # the tombstone write touches only the sink's delta dir while
-        # the annotation below reads only the PRE-RUN base snapshot
-        # (reference semantics: this run's writes are invisible to
-        # is_modified) — the two jobs are independent, so the purge
-        # write runs in the background under the annotate job. The
-        # error-collect inside build_frontier already warmed the
-        # parsed-entries cache both jobs re-read.
-        purge_writer = _BgTask(sink.append_deletes, purged,
-                               start_batch)
-        t_purge = time.perf_counter()
-
+        # F1: single-URL mode skips non-matching sites (main.py:76-78)
         if url:
-            frontier = frontier.filter(F.col("loc") == url)  # F2
+            sites = [s for s in sites if url.startswith(s.url)]
 
-        # persist: three consumers below (skip metrics, the remaining
-        # snapshot, initial host state) would otherwise each re-run the
-        # bloom-probe + last-indexed join over the whole frontier
-        annotated = _annotate_frontier(
-            frontier, world, spark.read.parquet(sink.base_path), sdf,
-            force,
-            expected_indexed=_parquet_rows(sink.base_path)).persist()
-        to_crawl = annotated.filter(F.col("skip_reason").isNull())
+        committed = _committed_batches(ckpt_root)
+        resuming = resume and bool(committed)
 
-        # materialize the frontier ONCE executor-side (this scan also
-        # fills the annotated cache end-to-end, so the skip-metrics
-        # count below is a cheap cached pass, not the materializing
-        # job) and hand the parquet snapshot write to a background
-        # thread: the batch-0 schedule consumes the identical
-        # localCheckpointed rows (bit-equality with the disk
-        # round-trip is pinned by the resume/oracle-order tests), so
-        # the frontier-sized write + its commit happen while batch 0
-        # is already crawling. Exactly one writer is ever outstanding
-        # (joined before the next checkpoint write), so markers still
-        # appear in batch order.
-        remaining = to_crawl.localCheckpoint(eager=True)
-        skips = {r["skip_reason"]: r["n"] for r in
-                 annotated.filter(F.col("skip_reason").isNotNull())
-                 .groupBy("skip_reason").count()
-                 .withColumnRenamed("count", "n").collect()}
-        metrics.append({"batch": -1, "event": "plan",
-                        "skips": skips,
-                        "sec_frontier_purge":
-                        round(t_purge - t0, 3),
-                        "sec_annotate":
-                        round(time.perf_counter() - t_purge, 3)})
-
-        # robots Crawl-delay (de-facto REP extension) raises a host's
-        # effective sleeptime above the site config's value
-        delays = (robots.robots_crawl_delays(world["robots"])
-                  if world.get("robots") is not None else None)
-        host_state = politeness.initial_host_state(
-            remaining, sdf, crawl_delays=delays).localCheckpoint(
-                eager=True)
-        ckpt_writer = _BgTask(_write_ckpt, ckpt_root, -1,
-                              remaining, host_state)
-        purge_writer.join()
-        # both consumers of the parsed-entries intermediate (purge,
-        # annotate) are done — drop it with the frontier caches
-        for df in scratch:
-            df.unpersist()
-        annotated.unpersist()
-        frontier.unpersist()
-        last_full = -1
-        start_batch = 0
-
-    sdf = sites_df(spark, sites)
-    def _schedule(rem, hs):
-        """Materialize one politeness batch plus its admission metric:
-        ONE job fills the cache AND yields both the admitted total and
-        the per-host lineage metric (north rule) — the per-batch
-        driver latency budget is the sandbox bottleneck, so every
-        folded job counts. Runs on the prefetch thread: batch N+1's
-        schedule is a pure function of (remaining, host_state) after
-        batch N's admission, both of which are known before batch N
-        extracts — so the schedule job overlaps the extraction job."""
-        b = politeness.select_batch(rem, hs, batch_seconds,
-                                    order_mode=order_mode).cache()
-        ph = {r["host"]: r["n"] for r in
-              b.groupBy("host").agg(
-                  F.count(F.lit(1)).alias("n")).collect()}
-        return b, ph
-
-    batch_id = start_batch
-    n_batches = 0
-    pending = _BgTask(_schedule, remaining, host_state)
-    batch = None
-    while True:
-        if max_batches is not None and n_batches >= max_batches:
-            # drain the outstanding prefetch so no schedule job runs
-            # past the return
-            b, _ph = pending.join()
-            b.unpersist()
-            break
-        t0 = time.perf_counter()
-        batch, per_host = pending.join()
-        admitted = sum(per_host.values())
-        if admitted == 0:
-            # empty schedule ⇒ remaining frontier is exhausted (capacity
-            # is ≥1 per host, so a non-empty frontier always admits rows)
-            batch.unpersist()
-            break
-
-        # state transition first — it is a pure function of batch N
-        # (politeness 429 doubling + the processed-set anti-join), and
-        # publishing it now lets batch N+1's schedule compute on the
-        # prefetch thread WHILE batch N extracts below. The tiny
-        # localCheckpoints pin the exact rows both the prefetch and
-        # the background checkpoint writer consume.
-        host_state = politeness.updated_host_state(
-            host_state, batch.filter(F.col("n_429") > 0)
-        ).localCheckpoint(eager=True)
-        is_full = batch_id - last_full >= ckpt_full_every
-        if is_full:
-            remaining = remaining.join(
-                batch.select("crawl_seq"), "crawl_seq", "left_anti"
-            ).localCheckpoint(eager=True)
-            processed = None
-            last_full = batch_id
+        if resuming:
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+            crawl_time = datetime.fromisoformat(meta["crawl_time"])
+            last = committed[-1]
+            remaining, host_state, last_full = _resume_state(
+                spark, ckpt_root, committed)
+            metrics = meta.get("metrics", [])
+            start_batch = last + 1
+            ckpt_writer = None
         else:
-            processed = batch.select("crawl_seq").localCheckpoint(
-                eager=True)
-            remaining = remaining.join(processed, "crawl_seq",
-                                       "left_anti")
+            crawl_time = crawl_time or DEFAULT_CRAWL_TIME
+            with open(meta_path, "w") as fh:
+                json.dump({"crawl_time": crawl_time.isoformat(),
+                           "metrics": []}, fh)
+            metrics = []
+            start_batch = 0
+
+            t0 = time.perf_counter()
+            sink.write_base_files(f"{world_dir}/index0.parquet")
+            sdf = sites_df(spark, sites)
+
+            # P2 per-site error isolation (main.py:80-88): a site whose
+            # sitemap discovery fails is recorded and skipped; the rest of
+            # the run proceeds. The error metrics row is the analog of the
+            # reference's failure notification (slack.py:15-61).
+            site_errors: list = []
+            scratch: list = []
+            frontier = build_frontier(spark, sites, world["sitemaps"],
+                                      errors=site_errors,
+                                      scratch=scratch).cache()
+            for err in site_errors:
+                metrics.append({"batch": -1, "event": "site_error", **err})
+
+            # purge BEFORE crawling, on the full sitemap membership even in
+            # single-URL mode (main.py:102 runs before the URL filter) —
+            # but ONLY for sites whose sitemaps resolved: the reference
+            # purges inside the per-site try block, so a dead site's docs
+            # are never purged (its membership is unknown, not empty)
+            failed_ids = {e["site_id"] for e in site_errors}
+            ok_sdf = sites_df(
+                spark, [s for s in sites if s.site_id not in failed_ids])
+            purged = purge_candidates(sink.current(), ok_sdf, frontier)
+            # the tombstone write touches only the sink's delta dir while
+            # the annotation below reads only the PRE-RUN base snapshot
+            # (reference semantics: this run's writes are invisible to
+            # is_modified) — the two jobs are independent, so the purge
+            # write runs in the background under the annotate job. The
+            # error-collect inside build_frontier already warmed the
+            # parsed-entries cache both jobs re-read.
+            purge_writer = _BgTask(sink.append_deletes, purged,
+                                   start_batch)
+            t_purge = time.perf_counter()
+
+            if url:
+                frontier = frontier.filter(F.col("loc") == url)  # F2
+
+            # persist: three consumers below (skip metrics, the remaining
+            # snapshot, initial host state) would otherwise each re-run the
+            # bloom-probe + last-indexed join over the whole frontier
+            annotated = _annotate_frontier(
+                frontier, world, spark.read.parquet(sink.base_path), sdf,
+                force,
+                expected_indexed=_parquet_rows(sink.base_path)).persist()
+            to_crawl = annotated.filter(F.col("skip_reason").isNull())
+
+            # materialize the frontier ONCE executor-side (this scan also
+            # fills the annotated cache end-to-end, so the skip-metrics
+            # count below is a cheap cached pass, not the materializing
+            # job) and hand the parquet snapshot write to a background
+            # thread: the batch-0 schedule consumes the identical
+            # localCheckpointed rows (bit-equality with the disk
+            # round-trip is pinned by the resume/oracle-order tests), so
+            # the frontier-sized write + its commit happen while batch 0
+            # is already crawling. Exactly one writer is ever outstanding
+            # (joined before the next checkpoint write), so markers still
+            # appear in batch order.
+            remaining = to_crawl.localCheckpoint(eager=True)
+            skips = {r["skip_reason"]: r["n"] for r in
+                     annotated.filter(F.col("skip_reason").isNotNull())
+                     .groupBy("skip_reason").count()
+                     .withColumnRenamed("count", "n").collect()}
+            metrics.append({"batch": -1, "event": "plan",
+                            "skips": skips,
+                            "sec_frontier_purge":
+                            round(t_purge - t0, 3),
+                            "sec_annotate":
+                            round(time.perf_counter() - t_purge, 3)})
+
+            # robots Crawl-delay (de-facto REP extension) raises a host's
+            # effective sleeptime above the site config's value
+            delays = (robots.robots_crawl_delays(world["robots"])
+                      if world.get("robots") is not None else None)
+            host_state = politeness.initial_host_state(
+                remaining, sdf, crawl_delays=delays).localCheckpoint(
+                    eager=True)
+            ckpt_writer = _BgTask(_write_ckpt, ckpt_root, -1,
+                                  remaining, host_state)
+            purge_writer.join()
+            # both consumers of the parsed-entries intermediate (purge,
+            # annotate) are done — drop it with the frontier caches
+            for df in scratch:
+                df.unpersist()
+            annotated.unpersist()
+            frontier.unpersist()
+            last_full = -1
+            start_batch = 0
+
+        sdf = sites_df(spark, sites)
+        def _schedule(rem, hs):
+            """Materialize one politeness batch plus its admission metric:
+            ONE job fills the cache AND yields both the admitted total and
+            the per-host lineage metric (north rule) — the per-batch
+            driver latency budget is the sandbox bottleneck, so every
+            folded job counts. Runs on the prefetch thread: batch N+1's
+            schedule is a pure function of (remaining, host_state) after
+            batch N's admission, both of which are known before batch N
+            extracts — so the schedule job overlaps the extraction job."""
+            b = politeness.select_batch(rem, hs, batch_seconds,
+                                        order_mode=order_mode).cache()
+            ph = {r["host"]: r["n"] for r in
+                  b.groupBy("host").agg(
+                      F.count(F.lit(1)).alias("n")).collect()}
+            return b, ph
+
+        batch_id = start_batch
+        n_batches = 0
         pending = _BgTask(_schedule, remaining, host_state)
-        t_sched = time.perf_counter()
+        batch = None
+        while True:
+            if max_batches is not None and n_batches >= max_batches:
+                # drain the outstanding prefetch so no schedule job runs
+                # past the return
+                b, _ph = pending.join()
+                b.unpersist()
+                break
+            t0 = time.perf_counter()
+            batch, per_host = pending.join()
+            admitted = sum(per_host.values())
+            if admitted == 0:
+                # empty schedule ⇒ remaining frontier is exhausted (capacity
+                # is ≥1 per host, so a non-empty frontier always admits rows)
+                batch.unpersist()
+                break
 
-        resources = _batch_resources(batch, world, sdf)
-        # extraction is CPU-dense per byte (one DOM parse per row);
-        # AQE's byte-based coalescing would pack the whole batch into a
-        # few partitions and idle the cluster — spread it explicitly
-        resources = resources.repartition(
-            spark.sparkContext.defaultParallelism)
-        docs = extract_documents(
-            resources, config, crawl_time,
-            passthrough=("crawl_seq", "site_id", "__csid"))
-        # crawler_site_id injection (main.py:152-153)
-        docs = (docs.withColumn("crawler_site_id", F.col("__csid"))
-                .drop("__csid")
-                .withColumn("op_seq", F.col("crawl_seq"))
-                .withColumn("batch_id", F.lit(batch_id))
-                .withColumn("url", F.col(config.url_field)))
-        if config.unique_field != "UID":
-            docs = docs.withColumn("UID", F.col(config.unique_field))
-        sink.append_upserts(docs, batch_id)
-        # count from the written delta's parquet FOOTERS, driver-side —
-        # a docs.count() would re-run the whole extraction stage, and
-        # even a spark.read...count() costs a whole scheduler round
-        # trip for what is pure file metadata
-        indexed = _parquet_rows(
-            os.path.join(sink.delta_root, f"batch={batch_id}"))
-        t_extract = time.perf_counter()
+            # state transition first — it is a pure function of batch N
+            # (politeness 429 doubling + the processed-set anti-join), and
+            # publishing it now lets batch N+1's schedule compute on the
+            # prefetch thread WHILE batch N extracts below. The tiny
+            # localCheckpoints pin the exact rows both the prefetch and
+            # the background checkpoint writer consume.
+            host_state = politeness.updated_host_state(
+                host_state, batch.filter(F.col("n_429") > 0)
+            ).localCheckpoint(eager=True)
+            is_full = batch_id - last_full >= ckpt_full_every
+            if is_full:
+                remaining = remaining.join(
+                    batch.select("crawl_seq"), "crawl_seq", "left_anti"
+                ).localCheckpoint(eager=True)
+                processed = None
+                last_full = batch_id
+            else:
+                processed = batch.select("crawl_seq").localCheckpoint(
+                    eager=True)
+                remaining = remaining.join(processed, "crawl_seq",
+                                           "left_anti")
+            pending = _BgTask(_schedule, remaining, host_state)
+            t_sched = time.perf_counter()
 
-        # MOR maintenance: fold the delta log into the base when it
-        # exceeds the generation budget (read-side LWW window stays
-        # bounded however long the crawl runs)
-        compacted = False
-        if (compact_every or compact_delta_frac is not None) and \
-                sink.should_compact(compact_every, compact_delta_frac,
-                                    compact_min_bytes):
-            sink.compact()
-            compacted = True
+            resources = _batch_resources(batch, world, sdf)
+            # extraction is CPU-dense per byte (one DOM parse per row);
+            # AQE's byte-based coalescing would pack the whole batch into a
+            # few partitions and idle the cluster — spread it explicitly
+            resources = resources.repartition(
+                spark.sparkContext.defaultParallelism)
+            docs = extract_documents(
+                resources, config, crawl_time,
+                passthrough=("crawl_seq", "site_id", "__csid"))
+            # crawler_site_id injection (main.py:152-153)
+            docs = (docs.withColumn("crawler_site_id", F.col("__csid"))
+                    .drop("__csid")
+                    .withColumn("op_seq", F.col("crawl_seq"))
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .withColumn("url", F.col(config.url_field)))
+            if config.unique_field != "UID":
+                docs = docs.withColumn("UID", F.col(config.unique_field))
+            sink.append_upserts(docs, batch_id)
+            # count from the written delta's parquet FOOTERS, driver-side —
+            # a docs.count() would re-run the whole extraction stage, and
+            # even a spark.read...count() costs a whole scheduler round
+            # trip for what is pure file metadata
+            indexed = _parquet_rows(
+                os.path.join(sink.delta_root, f"batch={batch_id}"))
+            t_extract = time.perf_counter()
+
+            # MOR maintenance: fold the delta log into the base when it
+            # exceeds the generation budget (read-side LWW window stays
+            # bounded however long the crawl runs)
+            compacted = False
+            if (compact_every or compact_delta_frac is not None) and \
+                    sink.should_compact(compact_every, compact_delta_frac,
+                                        compact_min_bytes):
+                sink.compact()
+                compacted = True
+
+            if ckpt_writer is not None:
+                # one writer outstanding at a time: batch K's checkpoint is
+                # committed before batch K+1's is written, so the on-disk
+                # marker sequence never has gaps (resume's delta replay
+                # assumes a committed prefix)
+                ckpt_writer.join()
+            if is_full:
+                # periodic full snapshot: the localCheckpoint (taken at the
+                # state transition above) truncates the anti-join lineage
+                # chain executor-side; the frontier-sized parquet write +
+                # commit happen in the background while the next batch
+                # crawls (the write reads the checkpointed blocks, not the
+                # lineage)
+                ckpt_writer = _BgTask(_write_ckpt, ckpt_root, batch_id,
+                                      remaining, host_state)
+            else:
+                # delta checkpoint: bytes proportional to the batch, not
+                # the frontier — the prefetch thread anti-joined the same
+                # checkpointed processed set in memory while the delta
+                # file + commit marker write in the background
+                ckpt_writer = _BgTask(_write_delta_ckpt, ckpt_root,
+                                      batch_id, processed, host_state)
+            metrics.append({"batch": batch_id, "admitted": admitted,
+                            "indexed": indexed, "compacted": compacted,
+                            "per_host_admitted": per_host,
+                            "sec_schedule": round(t_sched - t0, 3),
+                            "sec_extract_sink":
+                            round(t_extract - t_sched, 3),
+                            "sec_checkpoint":
+                            round(time.perf_counter() - t_extract, 3)})
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+            meta["metrics"] = metrics
+            with open(meta_path, "w") as fh:
+                json.dump(meta, fh)
+            batch.unpersist()
+            batch_id += 1
+            n_batches += 1
 
         if ckpt_writer is not None:
-            # one writer outstanding at a time: batch K's checkpoint is
-            # committed before batch K+1's is written, so the on-disk
-            # marker sequence never has gaps (resume's delta replay
-            # assumes a committed prefix)
             ckpt_writer.join()
-        if is_full:
-            # periodic full snapshot: the localCheckpoint (taken at the
-            # state transition above) truncates the anti-join lineage
-            # chain executor-side; the frontier-sized parquet write +
-            # commit happen in the background while the next batch
-            # crawls (the write reads the checkpointed blocks, not the
-            # lineage)
-            ckpt_writer = _BgTask(_write_ckpt, ckpt_root, batch_id,
-                                  remaining, host_state)
-        else:
-            # delta checkpoint: bytes proportional to the batch, not
-            # the frontier — the prefetch thread anti-joined the same
-            # checkpointed processed set in memory while the delta
-            # file + commit marker write in the background
-            ckpt_writer = _BgTask(_write_delta_ckpt, ckpt_root,
-                                  batch_id, processed, host_state)
-        metrics.append({"batch": batch_id, "admitted": admitted,
-                        "indexed": indexed, "compacted": compacted,
-                        "per_host_admitted": per_host,
-                        "sec_schedule": round(t_sched - t0, 3),
-                        "sec_extract_sink":
-                        round(t_extract - t_sched, 3),
-                        "sec_checkpoint":
-                        round(time.perf_counter() - t_extract, 3)})
-        with open(meta_path) as fh:
-            meta = json.load(fh)
-        meta["metrics"] = metrics
-        with open(meta_path, "w") as fh:
-            json.dump(meta, fh)
-        batch.unpersist()
-        batch_id += 1
-        n_batches += 1
-
-    if ckpt_writer is not None:
-        ckpt_writer.join()
-    return CrawlResult(out_dir=out_dir, batches=batch_id,
-                       metrics=metrics, sink=sink)
+        return CrawlResult(out_dir=out_dir, batches=batch_id,
+                           metrics=metrics, sink=sink)
+    except BaseException:
+        # join (and suppress secondary errors from) any outstanding
+        # background writers before propagating the primary failure:
+        # a daemon thread mid-parquet-write must not race interpreter
+        # teardown, and _COMMIT-last ordering means a joined-but-
+        # failed write was never adopted
+        for _t in (pending, ckpt_writer, purge_writer):
+            if _t is not None:
+                try:
+                    _t.join()
+                except BaseException:   # noqa: BLE001 — secondary
+                    pass
+        raise
 
 
 class _BgTask:
@@ -601,8 +621,17 @@ def _write_delta_ckpt(root: str, batch_id: int, processed: DataFrame,
 
 
 def _read_delta_ckpt(spark: SparkSession, root: str, batch_id: int):
-    st = spark.read.parquet(
-        os.path.join(root, f"batch={batch_id}", "state"))
+    d = os.path.join(root, f"batch={batch_id}")
+    if not os.path.isdir(os.path.join(d, "state")):
+        # legacy two-file delta layout (pre combined-write checkpoints):
+        # processed/ + host_state/ dirs — mirror _read_ckpt's legacy
+        # branch so a resume spanning an upgrade never hits
+        # path-not-found on old deltas
+        return (spark.read.parquet(os.path.join(d, "processed"))
+                .select("crawl_seq"),
+                spark.read.parquet(os.path.join(d, "host_state"))
+                .select("host", "sleeptime"))
+    st = spark.read.parquet(os.path.join(d, "state"))
     return (st.filter(F.col("crawl_seq").isNotNull())
             .select("crawl_seq"),
             st.filter(F.col("crawl_seq").isNull())
@@ -622,13 +651,26 @@ def _resume_state(spark: SparkSession, root: str, committed: list):
     remaining, full_hs = _read_ckpt(spark, root, last_full)
     delta_ids = [b for b in committed if last_full < b <= last]
     if delta_ids:
-        state = spark.read.parquet(*[
-            os.path.join(root, f"batch={b}", "state")
-            for b in delta_ids])
-        remaining = remaining.join(
-            state.filter(F.col("crawl_seq").isNotNull())
-            .select("crawl_seq"),
-            "crawl_seq", "left_anti")
+        # a resume may span an upgrade: read combined-state deltas in
+        # one bulk scan, but fall back per batch to the legacy
+        # processed/ dir when state/ is absent (mirrors _read_ckpt's
+        # legacy branch — _read_delta_ckpt has the same fallback)
+        state_paths = [os.path.join(root, f"batch={b}", "state")
+                       for b in delta_ids]
+        legacy = [os.path.join(root, f"batch={b}", "processed")
+                  for b, p in zip(delta_ids, state_paths)
+                  if not os.path.isdir(p)]
+        processed = None
+        modern = [p for p in state_paths if os.path.isdir(p)]
+        if modern:
+            processed = (spark.read.parquet(*modern)
+                         .filter(F.col("crawl_seq").isNotNull())
+                         .select("crawl_seq"))
+        if legacy:
+            old = spark.read.parquet(*legacy).select("crawl_seq")
+            processed = (old if processed is None
+                         else processed.unionByName(old))
+        remaining = remaining.join(processed, "crawl_seq", "left_anti")
     if last == last_full:
         host_state = full_hs
     else:

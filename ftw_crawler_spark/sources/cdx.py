@@ -109,9 +109,15 @@ def latest_captures(cdx: DataFrame,
     by warc_filename to read each archive's selected ranges in one
     task. The multi-capture history stays behind for recrawl-rate
     estimation (operators/incremental.recrawl_schedule)."""
+    # ts must parse: a capture whose 14-digit timestamp failed
+    # try_to_timestamp would otherwise emit a NULL-ts plan row (when
+    # all of a url's captures are malformed) or silently lose the
+    # struct max to any parseable capture regardless of recency —
+    # malformed-ts rows are rejects, never fetch-plan rows
     adm = cdx.filter(F.col("status").isin(*statuses)
                      & F.col("mime").isin(*mimes)
-                     & F.col("url").isNotNull())
+                     & F.col("url").isNotNull()
+                     & F.col("ts").isNotNull())
     pick = F.struct("ts", "warc_filename", "offset", "length")
     # max over the full struct, not max_by(ts): CDX timestamps have
     # 1-second resolution, so two captures of one url can share a ts —

@@ -310,6 +310,42 @@ def test_resume_reads_legacy_two_file_checkpoint(spark, world,
     assert a == b
 
 
+def test_resume_reads_legacy_delta_checkpoint(spark, world, engine_run,
+                                              tmp_path_factory):
+    """Pre-upgrade DELTA checkpoints used separate processed/ +
+    host_state/ dirs (marker body 'ok'). A crawl crashed mid-upgrade
+    can hold legacy deltas AFTER its last full snapshot — both the
+    bulk delta replay (_resume_state) and the host-state read
+    (_read_delta_ckpt) must fall back per batch."""
+    import os
+    import shutil
+
+    from ftw_crawler_spark.plans.crawl import _read_delta_ckpt
+
+    out = str(tmp_path_factory.mktemp("legacydelta"))
+    run_crawl(spark, world, out, crawl_time=CRAWL_TIME,
+              batch_seconds=5.0, max_batches=2)
+    ckpt = os.path.join(out, "checkpoints")
+    # convert the LAST committed delta (batch=1) to the legacy layout —
+    # exercises both the _resume_state replay and the host-state path
+    d = os.path.join(ckpt, "batch=1")
+    processed, host_state = _read_delta_ckpt(spark, ckpt, 1)
+    processed = processed.localCheckpoint()       # read before rewrite
+    host_state = host_state.localCheckpoint()
+    shutil.rmtree(os.path.join(d, "state"))
+    processed.write.parquet(os.path.join(d, "processed"))
+    host_state.write.parquet(os.path.join(d, "host_state"))
+    with open(os.path.join(d, "_COMMIT"), "w") as fh:
+        fh.write("ok")                            # legacy marker body
+    resumed = run_crawl(spark, world, out, crawl_time=CRAWL_TIME,
+                        batch_seconds=5.0, resume=True)
+    a = {(r["url"], r["crawl_seq"]) for r in
+         _crawled(engine_run).select("url", "crawl_seq").collect()}
+    b = {(r["url"], r["crawl_seq"]) for r in
+         _crawled(resumed).select("url", "crawl_seq").collect()}
+    assert a == b
+
+
 def test_priority_mode_same_final_state(spark, world, engine_run,
                                         tmp_path_factory):
     """Priority-queue scheduling changes WHICH rows enter each batch,
