@@ -1519,8 +1519,9 @@ ex AS (SELECT doc_id,
 flat AS (SELECT doc_id, s.idx AS idx, s.line AS line FROM ex),
 kept AS (SELECT doc_id, idx, line FROM (
   SELECT doc_id, idx, line,
-         row_number() OVER (PARTITION BY line
-                            ORDER BY doc_id, idx) AS rn
+         row_number() OVER (
+             PARTITION BY ('0x' || substr(md5(line), 1, 15))::BIGINT
+             ORDER BY doc_id, idx) AS rn
   FROM flat) WHERE rn = 1)
 SELECT d.doc_id,
        coalesce(k.text_dedup, '') AS text_dedup

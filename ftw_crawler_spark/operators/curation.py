@@ -22,7 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ftw_crawler_spark.operators.dedup import shingles_col, tokens_col
+from ftw_crawler_spark.operators.dedup import (md5_long, shingles_col,
+                                               tokens_col)
 
 # Patterns are deliberately RE2-compatible (no lookaround, no
 # backreferences) so the DuckDB oracle evaluates the IDENTICAL regex:
@@ -214,21 +215,28 @@ def drop_repeated_lines(docs: DataFrame, text_col: str = "text",
     with the smallest (doc, line-index) pair via a min-struct
     aggregate: same determinism guarantee (a pure function of the
     corpus, no task-order dependence), no corpus-wide sort. Shape:
-    posexplode lines → min(struct) per line (map-side combined) →
-    equality filter (uniform-key hash join on the line) → per-doc
+    posexplode lines → ONE groupBy on ``md5_long(line)`` whose
+    min-struct carries (doc, idx, line) — the shuffle key is a 60-bit
+    long, not the raw prose string, and because (doc, idx) is unique
+    the trailing line field never decides the comparison, so the
+    winner row IS the kept occurrence (no join back at all) → per-doc
     reassembly (array_sort over collected (idx, line) structs — one
-    doc's lines in one task, never the corpus). Documents whose every
-    line was deleted come back with ''."""
+    doc's lines in one task, never the corpus). 60-bit hash keying is
+    the family convention (operators/dedup.md5_long): a collision
+    merges two distinct lines into one key deterministically — the
+    oracle SQL keys on the identical hash. Documents whose every line
+    was deleted come back with ''."""
     lines = F.filter(F.split(F.col(text_col), "\n"),
                      lambda ln: F.trim(ln) != "")
     ex = (docs.select(F.col(id_col), F.posexplode(lines))
           .withColumnRenamed("pos", "idx")
           .withColumnRenamed("col", "line"))
-    win = ex.groupBy("line").agg(
-        F.min(F.struct(id_col, "idx")).alias("__w"))
-    kept = (ex.join(win, "line")
-            .filter((F.col(f"__w.{id_col}") == F.col(id_col))
-                    & (F.col("__w.idx") == F.col("idx"))))
+    kept = (ex.groupBy(md5_long(F.col("line")).alias("__lh"))
+            .agg(F.min(F.struct(F.col(id_col), F.col("idx"),
+                                F.col("line"))).alias("__w"))
+            .select(F.col(f"__w.{id_col}").alias(id_col),
+                    F.col("__w.idx").alias("idx"),
+                    F.col("__w.line").alias("line")))
     out = (kept.groupBy(id_col)
            .agg(F.array_join(
                F.transform(

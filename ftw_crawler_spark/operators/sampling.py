@@ -10,10 +10,10 @@ key on a content hash of a stable id, never on ``rand()``:
   < p·1e6`` — a codegen filter, no shuffle, trivially pushed down.
 - ``stratified_sample``: exactly-n-per-stratum via a per-stratum
   ``row_number`` ordered by the hash (a deterministic shuffle of each
-  stratum). One shuffle on the stratum key; for Zipf-head strata at
-  extreme scale the same salted two-phase top-k used by the politeness
-  scheduler (operators/politeness.py) applies — per-(stratum, salt)
-  top-n, then per-stratum top-n over the survivors.
+  stratum), served as the same salted two-phase top-k the politeness
+  scheduler uses — per-(stratum, salt) top-n over S buckets, then
+  per-stratum top-n over the ≤S·n survivors — so a Zipf-head stratum
+  never sorts in one task.
 
 The md5-based hash keeps every sample decision byte-reproducible in
 DuckDB/Python for the oracle gate (same trick as operators/dedup.py
@@ -112,16 +112,37 @@ def mixture_sample(df: DataFrame, source_col: str, key_col: str,
 
 def stratified_sample(df: DataFrame, strata_col: str, key_col: str,
                       n_per_stratum: int, salt: str = "t",
-                      use_md5: bool = True) -> DataFrame:
+                      use_md5: bool = True,
+                      salt_buckets: int | None = 16) -> DataFrame:
     """Exactly min(n, |stratum|) rows per stratum, chosen by hash order
-    (deterministic per-stratum shuffle), hash then key as tie-break."""
+    (deterministic per-stratum shuffle), hash then key as tie-break.
+
+    ``salt_buckets``: Zipf-head skew guard (same exact two-phase top-k
+    as the politeness scheduler, operators/politeness.py:select_batch).
+    A head stratum — one domain holding billions of rows — would
+    otherwise sort entirely in ONE task under the single
+    ``Window.partitionBy(stratum)``. With S buckets the rank runs in
+    two exact phases: per-(stratum, salt) top-n (S-way parallel), then
+    per-stratum top-n over at most S·n survivors. Every global top-n
+    row is by construction within its bucket's top-n, so the result is
+    IDENTICAL to the single-window form (pinned by
+    test_sampling's equivalence test). None disables the pre-phase."""
     if use_md5:
         order_key: Column = F.md5(
             F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
     else:
         order_key = _sample_hash(F.col(key_col), salt, False)
-    w = Window.partitionBy(strata_col).orderBy(order_key,
-                                              F.col(key_col))
+    order = [order_key, F.col(key_col)]
+    if salt_buckets and salt_buckets > 1:
+        w1 = Window.partitionBy(strata_col, "__salt").orderBy(*order)
+        df = (df.withColumn("__salt",
+                            F.pmod(F.xxhash64(F.col(key_col)
+                                              .cast("string")),
+                                   F.lit(salt_buckets)))
+              .withColumn("__r1", F.row_number().over(w1))
+              .filter(F.col("__r1") <= n_per_stratum)
+              .drop("__salt", "__r1"))
+    w = Window.partitionBy(strata_col).orderBy(*order)
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= n_per_stratum)
             .drop("__rn"))

@@ -145,9 +145,14 @@ def _lloyd(corpus: DataFrame, n_centroids: int, n_iter: int,
     """Shared Lloyd's loop: returns (vecs, assign_fn, cents) where
     ``cents`` is the final [(cid, vector)] list (K·dim doubles — the
     only thing the driver ever collects per iteration)."""
+    # checkpoint once: Lloyd's runs n_iter+1 actions over this relation
+    # (one assign-and-mean per iteration plus the final assignment) —
+    # without the checkpoint each action re-reads the corpus and
+    # re-runs the interpreted norm fold
     vecs = (corpus.select(F.col(id_col).alias("vid"),
                           _as_double(F.col(vec_col)).alias("v"))
-            .withColumn("n2", _dot(F.col("v"), F.col("v"))))
+            .withColumn("n2", _dot(F.col("v"), F.col("v")))
+            .localCheckpoint(eager=False))
     spark = corpus.sparkSession
 
     cents = sorted(
@@ -162,13 +167,19 @@ def _lloyd(corpus: DataFrame, n_centroids: int, n_iter: int,
                 "c2", _dot(F.col("c"), F.col("c")))
         d2 = (F.col("n2") - 2.0 * _dot(F.col("v"), F.col("c"))
               + F.col("c2"))
-        w = Window.partitionBy("vid").orderBy(F.asc("__d2"),
-                                              F.asc("cid"))
+        # argmin as a map-side-combinable min-struct aggregation — a
+        # row_number window over the N·K crossJoin would sort every
+        # vid's K rows; (d2, cid) is unique per group (one row per
+        # cid), so the struct min IS the (d2 asc, cid asc) argmin and
+        # the trailing v field never decides the comparison
         return (vecs.crossJoin(F.broadcast(cdf))
                 .withColumn("__d2", d2)
-                .withColumn("__r", F.row_number().over(w))
-                .filter(F.col("__r") == 1)
-                .select("vid", "cid", "v", "__d2"))
+                .groupBy("vid")
+                .agg(F.min(F.struct(F.col("__d2"), F.col("cid"),
+                                    F.col("v"))).alias("__b"))
+                .select("vid", F.col("__b.cid").alias("cid"),
+                        F.col("__b.v").alias("v"),
+                        F.col("__b.__d2").alias("__d2")))
 
     for _ in range(n_iter):
         assigned = assign(cents)
@@ -267,10 +278,25 @@ def ivf_ann(corpus: DataFrame, query_ids, k: int = 5,
         """nearest-centroid ids by cosine; ties break on centroid_id."""
         sim = _dot(F.col("__v"), F.col("cv"), use_hof) / (F.col("__norm")
                                                           * F.col("cn"))
+        scored = (df.crossJoin(F.broadcast(cents))
+                  .withColumn("__csim", sim))
+        if topn == 1:
+            # the corpus-wide list assignment: argmax as a map-side-
+            # combinable min-struct agg (negated sim is exact), not a
+            # row_number sort of every row's K centroid candidates
+            return (scored
+                    .groupBy(id_col)
+                    .agg(F.min(F.struct(-F.col("__csim"),
+                                        F.col("centroid_id"),
+                                        F.col("__v"),
+                                        F.col("__norm"))).alias("__b"))
+                    .select(F.col(id_col),
+                            F.col("__b.__v").alias("__v"),
+                            F.col("__b.__norm").alias("__norm"),
+                            F.col("__b.centroid_id").alias(out)))
         w = Window.partitionBy(id_col).orderBy(
             F.desc("__csim"), F.asc("centroid_id"))
-        return (df.crossJoin(F.broadcast(cents))
-                .withColumn("__csim", sim)
+        return (scored
                 .withColumn("__crank", F.row_number().over(w))
                 .filter(F.col("__crank") <= topn)
                 .select(F.col(id_col), F.col("__v"), F.col("__norm"),

@@ -88,3 +88,27 @@ def test_stratified_small_stratum_kept_whole(spark):
     df = spark.range(5).select(F.col("id").alias("doc_id"),
                                F.lit("only").alias("src"))
     assert sampling.stratified_sample(df, "src", "doc_id", 10).count() == 5
+
+
+def test_stratified_two_phase_identical_and_salted(spark):
+    """The salted two-phase top-n (Zipf-head skew guard) must return
+    byte-identical rows to the single-window form, and its plan must
+    rank per-(stratum, salt) FIRST — no whole-stratum single-task sort
+    before the bounded survivor pass."""
+    # skewed strata: one head stratum with 500 rows, tails with ~25
+    df = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 500, F.lit("head"))
+        .otherwise((F.col("id") % 4).cast("string")).alias("src"))
+    two_phase = sampling.stratified_sample(df, "src", "doc_id", 7,
+                                           salt_buckets=16)
+    single = sampling.stratified_sample(df, "src", "doc_id", 7,
+                                        salt_buckets=None)
+    assert {tuple(r) for r in two_phase.collect()} == \
+        {tuple(r) for r in single.collect()}
+    # plan shape: two window phases, the inner one partitioned on the
+    # salt too — so no partition ever holds a whole head stratum
+    plan = two_phase._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2 and "__salt" in plan
+    single_plan = single._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" not in single_plan
