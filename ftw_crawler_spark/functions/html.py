@@ -502,3 +502,54 @@ def _render(node: Node, parts: list[str]) -> None:
             parts.append(child)
     if is_block:
         parts.append("\n")
+
+
+# ---------------------------------------------------------------------------
+# outlinks (shared-parse form)
+# ---------------------------------------------------------------------------
+
+_SKIP_LINK_SCHEMES = ("mailto", "javascript", "tel", "data", "about")
+
+
+def doc_outlinks(doc: Node | None, base_url: str | None) -> list:
+    """(resolved_href, anchor_text) pairs from a PARSED document in
+    document order, duplicates kept. DOM-level so callers that already
+    hold a parse share it (the extraction engine's per-row DOM is the
+    expensive step; operators/linkgraph.parse_outlinks wraps this for
+    the standalone raw-bytes path). Hrefs resolve against the page url
+    honoring ``<base href>`` (RFC 3986 join); non-fetchable schemes and
+    pure-fragment hrefs are dropped; fragments are stripped."""
+    if doc is None or base_url is None:
+        return []
+    from urllib.parse import urljoin, urlsplit, urlunsplit
+    by_tag = getattr(doc, "by_tag", None)
+    if by_tag is None:
+        return []
+    base = base_url
+    for node in by_tag.get("base", ()):
+        if node.attrs.get("href"):
+            base = urljoin(base_url, node.attrs["href"])
+            break
+    out = []
+    for a in by_tag.get("a", ()):
+        href = a.attrs.get("href")
+        if not href:
+            continue
+        href = href.strip()
+        if not href or href.startswith("#"):
+            continue
+        scheme = href.split(":", 1)[0].lower() if ":" in href else ""
+        if scheme in _SKIP_LINK_SCHEMES:
+            continue
+        try:
+            resolved = urljoin(base, href)
+            parts = urlsplit(resolved)
+        except ValueError:
+            continue
+        if parts.scheme not in ("http", "https"):
+            continue
+        resolved = urlunsplit(
+            (parts.scheme, parts.netloc, parts.path, parts.query, ""))
+        anchor = " ".join((a.text_content() or "").split())
+        out.append((resolved, anchor))
+    return out

@@ -150,9 +150,17 @@ def _coerce(value, field: cfg.Field):
 
 
 def _python_fields_udf(config: cfg.CrawlerConfig, fields: list,
-                       crawl_time: datetime):
+                       crawl_time: datetime,
+                       emit_outlinks: bool = False):
     schema = T.StructType(
         [T.StructField(f.name, spark_type(f), True) for f in fields])
+    if emit_outlinks:
+        # resolved anchor hrefs out of the SAME per-row DOM parse the
+        # field extractors share (row.get_dom()) — the crawl loop's
+        # link-following discovery reads this column instead of
+        # re-reading and re-parsing the page bytes
+        schema = schema.add(T.StructField(
+            "__outlinks", T.ArrayType(T.StringType()), True))
     crawl_time_naive = crawl_time
     if crawl_time_naive.tzinfo is not None:
         crawl_time_naive = crawl_time_naive.astimezone(
@@ -172,6 +180,9 @@ def _python_fields_udf(config: cfg.CrawlerConfig, fields: list,
             content_type.tolist()
         hdrs, attrs = headers.tolist(), attributes.tolist()
         out: dict[str, list] = {f.name: [None] * n for f in fields}
+        if emit_outlinks:
+            from ftw_crawler_spark.functions.html import doc_outlinks
+            out["__outlinks"] = [None] * n
         for i in range(n):
             row = cfg._RowCtx(
                 locs[i], lastmods[i], targets[i],
@@ -186,6 +197,10 @@ def _python_fields_udf(config: cfg.CrawlerConfig, fields: list,
                         out[f.name][i] = None
                         continue
                 out[f.name][i] = _coerce(value, f)
+            if emit_outlinks:
+                out["__outlinks"][i] = [
+                    dst for dst, _ in
+                    doc_outlinks(row.get_dom(), locs[i])]
         return pd.DataFrame(out)
 
     return F.pandas_udf(extract, returnType=schema)
@@ -198,12 +213,19 @@ def _python_fields_udf(config: cfg.CrawlerConfig, fields: list,
 
 def extract_documents(resources: DataFrame, config: cfg.CrawlerConfig,
                       crawl_time: datetime,
-                      passthrough: tuple = ()) -> DataFrame:
+                      passthrough: tuple = (),
+                      emit_outlinks: bool = False) -> DataFrame:
     """Project the resource frame into the declared document schema.
 
     ``resources`` must carry RESOURCE_COLUMNS (+ optional ``passthrough``
     columns such as crawl_seq / site_id / crawler_site_id kept for
     lineage and the index sink).
+
+    ``emit_outlinks`` adds a ``__outlinks array<string>`` column of
+    resolved anchor hrefs computed from the SAME per-row DOM parse the
+    field extractors share — the crawl loop's ``--follow-links``
+    discovery consumes it, so following links never re-reads or
+    re-parses page bytes.
     """
     if crawl_time.tzinfo is not None:
         crawl_time = crawl_time.astimezone(timezone.utc).replace(tzinfo=None)
@@ -224,8 +246,9 @@ def extract_documents(resources: DataFrame, config: cfg.CrawlerConfig,
             python_fields.append(f)
 
     cols: list[Column] = [F.col(c) for c in passthrough]
-    if python_fields:
-        udf = _python_fields_udf(config, python_fields, crawl_time)
+    if python_fields or emit_outlinks:
+        udf = _python_fields_udf(config, python_fields, crawl_time,
+                                 emit_outlinks=emit_outlinks)
         struct_col = udf(*[F.col(c) for c in RESOURCE_COLUMNS])
         tmp = resources.withColumn("__extracted", struct_col)
         for f in config.fields:
@@ -234,6 +257,9 @@ def extract_documents(resources: DataFrame, config: cfg.CrawlerConfig,
             else:
                 cols.append(F.col("__extracted").getField(f.name)
                             .alias(f.name))
+        if emit_outlinks:
+            cols.append(F.col("__extracted").getField("__outlinks")
+                        .alias("__outlinks"))
         return tmp.select(*cols)
 
     for f in config.fields:

@@ -45,14 +45,12 @@ same skew story as the host-counts aggregation.
 
 from __future__ import annotations
 
-from urllib.parse import urljoin, urlsplit, urlunsplit
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ftw_crawler_spark.functions.urls import canonical_url_col
+from ftw_crawler_spark.functions.urls import canonical_url_col, url_trap_cols
 from ftw_crawler_spark.operators import seen
 
 LINKS_SCHEMA = T.StructType([
@@ -61,7 +59,9 @@ LINKS_SCHEMA = T.StructType([
     T.StructField("anchor", T.StringType()),
 ])
 
-_SKIP_SCHEMES = ("mailto", "javascript", "tel", "data", "about")
+# non-fetchable href schemes are filtered in functions/html.doc_outlinks
+# (_SKIP_LINK_SCHEMES) — the DOM-level walk shared with the extraction
+# engine's per-row parse
 
 
 def parse_outlinks(html_bytes: bytes | None,
@@ -69,44 +69,20 @@ def parse_outlinks(html_bytes: bytes | None,
     """(resolved_href, anchor_text) pairs from one HTML page, document
     order, duplicates kept (the caller decides whether multiplicity
     matters). Plain Python so tests and oracles can call it row-wise;
-    the Spark path Arrow-batches it in ``extract_outlinks``."""
+    the Spark path Arrow-batches it in ``extract_outlinks``. The
+    DOM-level walk lives in functions/html.doc_outlinks so the
+    extraction engine's per-row parse is SHARED when the crawl loop
+    follows links (one page read, one parse, documents + outlinks
+    out — the posture that matters when page bytes are the dominant
+    cost)."""
     if not html_bytes or base_url is None:
         return []
-    from ftw_crawler_spark.functions.html import parse_html
+    from ftw_crawler_spark.functions.html import doc_outlinks, parse_html
     try:
         doc = parse_html(html_bytes)
     except Exception:
         return []
-    # parse_html's root carries a tag index in document order — no
-    # tree walks (index order == preorder, pinned in functions/html.py)
-    base = base_url
-    for node in doc.by_tag.get("base", ()):
-        if node.attrs.get("href"):
-            base = urljoin(base_url, node.attrs["href"])
-            break
-    out = []
-    for a in doc.by_tag.get("a", ()):
-        href = a.attrs.get("href")
-        if not href:
-            continue
-        href = href.strip()
-        if not href or href.startswith("#"):
-            continue
-        scheme = href.split(":", 1)[0].lower() if ":" in href else ""
-        if scheme in _SKIP_SCHEMES:
-            continue
-        try:
-            resolved = urljoin(base, href)
-            parts = urlsplit(resolved)
-        except ValueError:
-            continue
-        if parts.scheme not in ("http", "https"):
-            continue
-        resolved = urlunsplit(
-            (parts.scheme, parts.netloc, parts.path, parts.query, ""))
-        anchor = " ".join((a.text_content() or "").split())
-        out.append((resolved, anchor))
-    return out
+    return doc_outlinks(doc, base_url)
 
 
 def extract_outlinks(pages: DataFrame, url_col: str = "url",
@@ -136,6 +112,7 @@ def discover_frontier(pages: DataFrame, known: DataFrame,
                       url_col: str = "url", html_col: str = "html",
                       known_url_col: str = "url",
                       scope_hosts: DataFrame | None = None,
+                      drop_traps: bool = False,
                       expected_known: int | None = None) -> DataFrame:
     """(loc, n_refs) — new crawl candidates found by following anchors.
 
@@ -157,9 +134,34 @@ def discover_frontier(pages: DataFrame, known: DataFrame,
     probe; the page bytes never leave the extraction tasks.
     """
     links = extract_outlinks(pages, url_col=url_col, html_col=html_col)
+    return candidates_from_links(links, known,
+                                 known_url_col=known_url_col,
+                                 scope_hosts=scope_hosts,
+                                 drop_traps=drop_traps,
+                                 expected_known=expected_known)
+
+
+def candidates_from_links(links: DataFrame, known: DataFrame,
+                          known_url_col: str = "url",
+                          scope_hosts: DataFrame | None = None,
+                          drop_traps: bool = False,
+                          expected_known: int | None = None) -> DataFrame:
+    """``discover_frontier`` minus the parse: (src_url, dst_url) link
+    rows → (loc, n_refs) new candidates. This is the entry point the
+    crawl loop uses — its outlinks come out of the extraction engine's
+    shared DOM parse (operators/extraction.py ``emit_outlinks``), so
+    page bytes are read and parsed exactly once per batch.
+
+    ``drop_traps``: apply the crawler-trap gate
+    (functions/urls.url_trap_cols — loop/depth/parameter-explosion
+    signals) on the CANONICAL form before the seen split, so trap URLs
+    never reach the membership probe, the frontier, or the politeness
+    budget."""
     cand = (links
             .select(canonical_url_col(F.col("dst_url")).alias("loc"))
             .groupBy("loc").agg(F.count(F.lit(1)).alias("n_refs")))
+    if drop_traps:
+        cand = cand.filter(~url_trap_cols(F.col("loc"))["trap"])
     if scope_hosts is not None:
         hcol = scope_hosts.columns[0]
         host = F.regexp_extract(F.col("loc"), r"^[a-z+.-]+://([^/?]*)", 1)

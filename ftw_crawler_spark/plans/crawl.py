@@ -69,6 +69,17 @@ from ftw_crawler_spark.sources.synth import default_sites
 
 DEFAULT_CRAWL_TIME = datetime(2026, 1, 15, 12, 0, 0)
 
+# crawl_seq space for link-discovered frontier rows: sitemap rows use
+# site_id·2^40 + ordinal (operators/sitemaps._with_crawl_seq — far below
+# 2^62), discovered rows hash into [2^62, 2^62 + 2^61). The hash keys on
+# the CANONICAL url, so the seq is a pure function of the frontier (no
+# task-order dependence); same-batch collisions are deduped with a
+# deterministic min-loc winner, and the residual cross-batch collision
+# odds (~2^-61 per pair) are the family's accepted 60-bit posture
+# (operators/dedup.md5_long).
+DISCOVERED_SEQ_BASE = 1 << 62
+_DISCOVERED_SEQ_MOD = 1 << 61
+
 
 @dataclass
 class CrawlResult:
@@ -171,6 +182,60 @@ def _annotate_frontier(frontier: DataFrame, world: dict,
     return df.withColumn("skip_reason", skip)
 
 
+def _annotate_discovered(cand: DataFrame, world: dict,
+                         sites_dim: DataFrame, host_dim: DataFrame,
+                         force: bool, expected_indexed: int) -> DataFrame:
+    """Link-discovered candidates (loc, n_refs) → annotated frontier
+    rows, shaped exactly like sitemap rows so they union into
+    ``remaining`` and ride the same politeness/extraction path:
+
+    - site_id via the broadcast host dim (candidates are already scoped
+      to configured hosts);
+    - ``priority`` = n_refs (in-reference count — well-linked pages
+      first in priority order mode; sitemap priorities are ≤ 1.0, so
+      discovered pages outrank them by design);
+    - ``crawl_seq`` = DISCOVERED_SEQ_BASE + hash(canonical loc): a pure
+      function of the url (deterministic, resume-stable), disjoint from
+      the sitemap ordinal space; same-batch hash collisions resolve to
+      a deterministic min-loc winner;
+    - the same ``_annotate_frontier`` pass as sitemap rows (robots,
+      last-indexed against the PRE-RUN index, fetch status, skip
+      classification).
+    """
+    host = F.lower(F.parse_url(F.col("loc"), F.lit("HOST")))
+    cand = (cand.withColumn("host", host)
+            .join(F.broadcast(host_dim), "host")
+            .withColumn(
+                "crawl_seq",
+                F.lit(DISCOVERED_SEQ_BASE)
+                + F.pmod(F.xxhash64("loc"),
+                         F.lit(_DISCOVERED_SEQ_MOD))))
+    # deterministic min-loc winner on (astronomically rare) same-batch
+    # seq collisions — crawl_seq is the row identity the processed
+    # anti-join and checkpoints key on, so it must be unique
+    cand = (cand.groupBy("crawl_seq")
+            .agg(F.min(F.struct("loc", "n_refs", "host",
+                                "site_id")).alias("__w"))
+            .select("crawl_seq", F.col("__w.loc").alias("loc"),
+                    F.col("__w.n_refs").alias("n_refs"),
+                    F.col("__w.host").alias("host"),
+                    F.col("__w.site_id").alias("site_id")))
+    frontier = cand.select(
+        "site_id",
+        F.lit(None).cast("string").alias("sitemap_url"),
+        F.lit(0).cast("int").alias("sitemap_ord"),
+        F.lit(0).cast("int").alias("url_ord"),
+        "loc",
+        F.lit(None).cast("string").alias("lastmod"),
+        F.lit(None).cast("string").alias("changefreq"),
+        F.col("n_refs").cast("string").alias("priority"),
+        F.lit(None).cast("string").alias("target"),
+        "host", "crawl_seq")
+    return _annotate_frontier(frontier, world, world["index0"],
+                              sites_dim, force,
+                              expected_indexed=expected_indexed)
+
+
 def _batch_resources(batch: DataFrame, world: dict,
                      sites_dim: DataFrame) -> DataFrame:
     """Fetch-simulate (S6): page-store inner join (html/text read HERE
@@ -217,7 +282,22 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
               ckpt_full_every: int = 8,
               compact_every: int | None = 16,
               compact_delta_frac: float | None = 0.5,
-              compact_min_bytes: int = 256 << 20) -> CrawlResult:
+              compact_min_bytes: int = 256 << 20,
+              follow_links: bool = False) -> CrawlResult:
+    """``follow_links`` turns on link-following frontier discovery (the
+    north rule's priority queue actually GROWING from discovered
+    anchors — the sitemap-driven reference never follows links): each
+    batch's extraction emits resolved outlinks from its shared DOM
+    parse (zero extra page reads), they are canonicalized, trap-gated
+    (functions/urls.url_trap_cols), scoped to the configured sites'
+    hosts, split against the enqueued-set (sharded bloom + exact
+    anti-join), annotated like sitemap rows (robots / last-indexed /
+    is_modified / status), and union into ``remaining`` with ``n_refs``
+    (in-reference count) as the priority signal. Discovered rows ride
+    the delta checkpoints (the frontier GROWS between fulls), so resume
+    replays them exactly. Purge membership stays sitemap-only
+    (reference semantics): a later run purges link-discovered docs
+    unless they joined a sitemap."""
     sites = sites if sites is not None else default_sites()
     config = config or cfg.default_config()
     # background writers (checkpoint / purge / schedule-prefetch): kept
@@ -239,6 +319,8 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
 
         committed = _committed_batches(ckpt_root)
         resuming = resume and bool(committed)
+        enqueued = None
+        n_enqueued = 0
 
         if resuming:
             with open(meta_path) as fh:
@@ -250,6 +332,17 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
             metrics = meta.get("metrics", [])
             start_batch = last + 1
             ckpt_writer = None
+            if follow_links:
+                # enqueued-set reconstruction: remaining ∪ indexed urls
+                # is a conservative under-approximation (skipped urls
+                # aren't checkpointed) — a re-discovered skipped url
+                # just re-annotates to the same skip, never re-crawls,
+                # so the schedule sequence is unchanged
+                enqueued = (remaining.select("loc")
+                            .unionByName(sink.current().select(
+                                F.col("url").alias("loc")))
+                            .distinct().localCheckpoint(eager=True))
+                n_enqueued = enqueued.count()
         else:
             crawl_time = crawl_time or DEFAULT_CRAWL_TIME
             with open(meta_path, "w") as fh:
@@ -322,6 +415,13 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                      annotated.filter(F.col("skip_reason").isNotNull())
                      .groupBy("skip_reason").count()
                      .withColumnRenamed("count", "n").collect()}
+            if follow_links:
+                # every frontier loc ever enqueued (INCLUDING skipped —
+                # a skipped url must not be re-queued by discovery);
+                # cheap: the annotated cache is warm from the scan above
+                enqueued = annotated.select("loc").localCheckpoint(
+                    eager=True)
+                n_enqueued = enqueued.count()
             metrics.append({"batch": -1, "event": "plan",
                             "skips": skips,
                             "sec_frontier_purge":
@@ -365,19 +465,117 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                       F.count(F.lit(1)).alias("n")).collect()}
             return b, ph
 
+        if follow_links:
+            from ftw_crawler_spark.operators.linkgraph import (
+                candidates_from_links)
+
+            # host → site dim for scoping + site_id assignment of
+            # discovered urls (two sites on one host: min site_id wins,
+            # deterministically)
+            host_site: dict[str, int] = {}
+            for s in sites:
+                h = s.url.split("://", 1)[-1].split("/", 1)[0].lower()
+                host_site[h] = min(host_site.get(h, s.site_id),
+                                   s.site_id)
+            host_dim = spark.createDataFrame(
+                sorted(host_site.items()), "host string, site_id int")
+            # discovered-row annotation uses the immutable PRE-RUN
+            # index (world index0): sink.base_path is rewritten by
+            # mid-run compaction, and reference semantics pin
+            # is_modified to the pre-run snapshot anyway
+            n_index0 = _parquet_rows(f"{world_dir}/index0.parquet")
+
+            def _discover_schedule(rem, hs, links, enq, n_enq):
+                """Link discovery over the just-extracted batch's
+                outlinks, then the next schedule — one prefetch-thread
+                unit so the schedule stays a pure function of the
+                post-discovery frontier (resume replays it exactly)."""
+                disc, n_new, n_disc = None, 0, 0
+                if links is not None:
+                    cand = candidates_from_links(
+                        links, enq, known_url_col="loc",
+                        scope_hosts=host_dim.select("host"),
+                        drop_traps=True, expected_known=n_enq)
+                    ann = _annotate_discovered(
+                        cand, world, sdf, host_dim, force,
+                        n_index0).localCheckpoint(eager=True)
+                    counts = ann.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.count(F.when(F.col("skip_reason").isNull(),
+                                       F.lit(1))).alias("ok")).collect()
+                    n_new, n_disc = counts[0]["n"], counts[0]["ok"]
+                    if n_new:
+                        enq = enq.unionByName(
+                            ann.select("loc")).localCheckpoint(
+                                eager=True)
+                    if n_disc:
+                        disc = (ann.filter(F.col("skip_reason").isNull())
+                                .select(*rem.columns)
+                                .localCheckpoint(eager=True))
+                        rem = rem.unionByName(disc).localCheckpoint(
+                            eager=True)
+                b, ph = _schedule(rem, hs)
+                return b, ph, rem, enq, n_enq + n_new, disc, n_disc
+
         batch_id = start_batch
         n_batches = 0
-        pending = _BgTask(_schedule, remaining, host_state)
+        if follow_links:
+            pending = _BgTask(_discover_schedule, remaining, host_state,
+                              None, enqueued, n_enqueued)
+        else:
+            pending = _BgTask(_schedule, remaining, host_state)
         batch = None
+        prev_docs = None
+        deferred = None   # follow mode: (batch_id, is_full, processed)
+
+        def _flush_deferred(disc, n_disc, n_added):
+            """Write the PREVIOUS batch's checkpoint — deferred until
+            its discoveries are known, so a full snapshot reflects the
+            grown frontier and a delta carries the discovered rows the
+            resume replay must re-add."""
+            nonlocal ckpt_writer, deferred
+            if deferred is None:
+                return
+            bid, was_full, proc = deferred
+            deferred = None
+            if n_added or n_disc:
+                metrics.append({"batch": bid, "event": "discovery",
+                                "candidates": n_added,
+                                "enqueued": n_disc})
+            if ckpt_writer is not None:
+                ckpt_writer.join()
+            if was_full:
+                ckpt_writer = _BgTask(_write_ckpt, ckpt_root, bid,
+                                      remaining, host_state)
+            else:
+                ckpt_writer = _BgTask(_write_delta_ckpt, ckpt_root, bid,
+                                      proc, host_state, disc)
+
         while True:
             if max_batches is not None and n_batches >= max_batches:
                 # drain the outstanding prefetch so no schedule job runs
                 # past the return
-                b, _ph = pending.join()
+                if follow_links:
+                    (b, _ph, remaining, enqueued, n_enq2, disc_prev,
+                     n_disc) = pending.join()
+                    _flush_deferred(disc_prev, n_disc,
+                                    n_enq2 - n_enqueued)
+                    n_enqueued = n_enq2
+                else:
+                    b, _ph = pending.join()
                 b.unpersist()
                 break
             t0 = time.perf_counter()
-            batch, per_host = pending.join()
+            if follow_links:
+                (batch, per_host, remaining, enqueued, n_enq2, disc_prev,
+                 n_disc) = pending.join()
+                if prev_docs is not None:
+                    prev_docs.unpersist()
+                    prev_docs = None
+                _flush_deferred(disc_prev, n_disc, n_enq2 - n_enqueued)
+                n_enqueued = n_enq2
+            else:
+                batch, per_host = pending.join()
             admitted = sum(per_host.values())
             if admitted == 0:
                 # empty schedule ⇒ remaining frontier is exhausted (capacity
@@ -406,7 +604,11 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                     eager=True)
                 remaining = remaining.join(processed, "crawl_seq",
                                            "left_anti")
-            pending = _BgTask(_schedule, remaining, host_state)
+            if not follow_links:
+                # follow mode launches the prefetch AFTER extraction:
+                # the next schedule depends on this batch's discovered
+                # links, which come out of the extraction parse
+                pending = _BgTask(_schedule, remaining, host_state)
             t_sched = time.perf_counter()
 
             resources = _batch_resources(batch, world, sdf)
@@ -417,7 +619,8 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                 spark.sparkContext.defaultParallelism)
             docs = extract_documents(
                 resources, config, crawl_time,
-                passthrough=("crawl_seq", "site_id", "__csid"))
+                passthrough=("crawl_seq", "site_id", "__csid"),
+                emit_outlinks=follow_links)
             # crawler_site_id injection (main.py:152-153)
             docs = (docs.withColumn("crawler_site_id", F.col("__csid"))
                     .drop("__csid")
@@ -426,13 +629,29 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                     .withColumn("url", F.col(config.url_field)))
             if config.unique_field != "UID":
                 docs = docs.withColumn("UID", F.col(config.unique_field))
-            sink.append_upserts(docs, batch_id)
+            if follow_links:
+                # the sink write fills this cache; discovery then reads
+                # outlinks from it — page bytes are read and DOM-parsed
+                # exactly once per batch
+                from pyspark import StorageLevel
+                docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+                prev_docs = docs
+                sink.append_upserts(docs.drop("__outlinks"), batch_id)
+            else:
+                sink.append_upserts(docs, batch_id)
             # count from the written delta's parquet FOOTERS, driver-side —
             # a docs.count() would re-run the whole extraction stage, and
             # even a spark.read...count() costs a whole scheduler round
             # trip for what is pure file metadata
             indexed = _parquet_rows(
                 os.path.join(sink.delta_root, f"batch={batch_id}"))
+            if follow_links:
+                links = docs.select(
+                    F.col("url").alias("src_url"),
+                    F.explode("__outlinks").alias("dst_url"))
+                pending = _BgTask(_discover_schedule, remaining,
+                                  host_state, links, enqueued,
+                                  n_enqueued)
             t_extract = time.perf_counter()
 
             # MOR maintenance: fold the delta log into the base when it
@@ -445,28 +664,39 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                 sink.compact()
                 compacted = True
 
-            if ckpt_writer is not None:
-                # one writer outstanding at a time: batch K's checkpoint is
-                # committed before batch K+1's is written, so the on-disk
-                # marker sequence never has gaps (resume's delta replay
-                # assumes a committed prefix)
-                ckpt_writer.join()
-            if is_full:
-                # periodic full snapshot: the localCheckpoint (taken at the
-                # state transition above) truncates the anti-join lineage
-                # chain executor-side; the frontier-sized parquet write +
-                # commit happen in the background while the next batch
-                # crawls (the write reads the checkpointed blocks, not the
-                # lineage)
-                ckpt_writer = _BgTask(_write_ckpt, ckpt_root, batch_id,
-                                      remaining, host_state)
+            if follow_links:
+                # checkpoint write DEFERRED to the next pending.join():
+                # a full snapshot must include this batch's discovered
+                # rows, a delta must carry them for the resume replay
+                deferred = (batch_id, is_full, processed)
             else:
-                # delta checkpoint: bytes proportional to the batch, not
-                # the frontier — the prefetch thread anti-joined the same
-                # checkpointed processed set in memory while the delta
-                # file + commit marker write in the background
-                ckpt_writer = _BgTask(_write_delta_ckpt, ckpt_root,
-                                      batch_id, processed, host_state)
+                if ckpt_writer is not None:
+                    # one writer outstanding at a time: batch K's
+                    # checkpoint is committed before batch K+1's is
+                    # written, so the on-disk marker sequence never has
+                    # gaps (resume's delta replay assumes a committed
+                    # prefix)
+                    ckpt_writer.join()
+                if is_full:
+                    # periodic full snapshot: the localCheckpoint (taken
+                    # at the state transition above) truncates the
+                    # anti-join lineage chain executor-side; the
+                    # frontier-sized parquet write + commit happen in
+                    # the background while the next batch crawls (the
+                    # write reads the checkpointed blocks, not the
+                    # lineage)
+                    ckpt_writer = _BgTask(_write_ckpt, ckpt_root,
+                                          batch_id, remaining,
+                                          host_state)
+                else:
+                    # delta checkpoint: bytes proportional to the batch,
+                    # not the frontier — the prefetch thread anti-joined
+                    # the same checkpointed processed set in memory
+                    # while the delta file + commit marker write in the
+                    # background
+                    ckpt_writer = _BgTask(_write_delta_ckpt, ckpt_root,
+                                          batch_id, processed,
+                                          host_state)
             metrics.append({"batch": batch_id, "admitted": admitted,
                             "indexed": indexed, "compacted": compacted,
                             "per_host_admitted": per_host,
@@ -599,14 +829,18 @@ def _read_ckpt(spark: SparkSession, root: str, batch_id: int):
 
 
 def _write_delta_ckpt(root: str, batch_id: int, processed: DataFrame,
-                      host_state: DataFrame) -> None:
+                      host_state: DataFrame,
+                      discovered: DataFrame | None = None) -> None:
     """Delta checkpoint: the batch's processed crawl_seq set (politeness-
-    capped — tiny) + host state, folded into ONE parquet write (one
+    capped — tiny) + host state + (follow-links mode) the batch's
+    link-discovered frontier rows, folded into ONE parquet write (one
     Spark job, one commit — the fixed per-job driver latency is the
     sandbox pipeline's dominant cost, BASELINE.md). Row kinds are
-    distinguished by the null pattern: processed rows carry crawl_seq,
-    host rows carry (host, sleeptime). O(batch) bytes, not
-    O(frontier)."""
+    distinguished by the null pattern: processed rows carry crawl_seq
+    with NULL loc, discovered rows carry crawl_seq AND loc (the full
+    annotated frontier schema — the frontier GROWS between fulls, so
+    the resume replay must re-add them), host rows carry (host,
+    sleeptime) with NULL crawl_seq. O(batch) bytes, not O(frontier)."""
     d = os.path.join(root, f"batch={batch_id}")
     combined = processed.select(
         "crawl_seq",
@@ -615,6 +849,11 @@ def _write_delta_ckpt(root: str, batch_id: int, processed: DataFrame,
     ).unionByName(host_state.select(
         F.lit(None).cast("long").alias("crawl_seq"),
         "host", "sleeptime"))
+    if discovered is not None:
+        combined = combined.unionByName(
+            discovered.withColumn("sleeptime",
+                                  F.lit(None).cast("double")),
+            allowMissingColumns=True)
     combined.write.mode("overwrite").parquet(os.path.join(d, "state"))
     with open(os.path.join(d, "_COMMIT"), "w") as fh:
         fh.write("delta")
@@ -632,8 +871,12 @@ def _read_delta_ckpt(spark: SparkSession, root: str, batch_id: int):
                 spark.read.parquet(os.path.join(d, "host_state"))
                 .select("host", "sleeptime"))
     st = spark.read.parquet(os.path.join(d, "state"))
-    return (st.filter(F.col("crawl_seq").isNotNull())
-            .select("crawl_seq"),
+    proc = st.filter(F.col("crawl_seq").isNotNull())
+    if "loc" in st.columns:
+        # follow-links deltas also carry discovered frontier rows
+        # (crawl_seq AND loc non-null) — not part of the processed set
+        proc = proc.filter(F.col("loc").isNull())
+    return (proc.select("crawl_seq"),
             st.filter(F.col("crawl_seq").isNull())
             .select("host", "sleeptime"))
 
@@ -663,9 +906,24 @@ def _resume_state(spark: SparkSession, root: str, committed: list):
         processed = None
         modern = [p for p in state_paths if os.path.isdir(p)]
         if modern:
-            processed = (spark.read.parquet(*modern)
-                         .filter(F.col("crawl_seq").isNotNull())
-                         .select("crawl_seq"))
+            # mergeSchema: follow-links deltas carry the full annotated
+            # frontier schema for discovered rows; plain deltas carry
+            # only (crawl_seq, host, sleeptime) — a resume may span
+            # both
+            st = (spark.read.option("mergeSchema", "true")
+                  .parquet(*modern))
+            proc = st.filter(F.col("crawl_seq").isNotNull())
+            if "loc" in st.columns:
+                # discovered rows (crawl_seq AND loc non-null) GROW the
+                # frontier between fulls — re-add them before the
+                # processed anti-join (a discovered row later processed
+                # is removed by the anti-join as usual)
+                disc = st.filter(F.col("crawl_seq").isNotNull()
+                                 & F.col("loc").isNotNull())
+                remaining = remaining.unionByName(
+                    disc.select(*remaining.columns))
+                proc = proc.filter(F.col("loc").isNull())
+            processed = proc.select("crawl_seq")
         if legacy:
             old = spark.read.parquet(*legacy).select("crawl_seq")
             processed = (old if processed is None

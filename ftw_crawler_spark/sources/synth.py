@@ -547,3 +547,114 @@ def generate_world(spark: SparkSession, out_dir: str, sf: float = 0.01,
     return {name: f"{out_dir}/{name}.parquet"
             for name in ("entries", "sitemaps", "pages", "index0",
                          "fetch_status", "robots")}
+
+
+# ---------------------------------------------------------------------------
+# link layer (follow-links worlds)
+# ---------------------------------------------------------------------------
+
+
+def _link_block(url: str, site_url: str, n_s: int,
+                n_hidden: int) -> str | None:
+    """Deterministic anchor block for one sitemap doc page, or None if
+    the url is not a generated doc page. Link classes (all pure
+    functions of (url, n_s) — no RNG):
+
+    - two sibling doc pages (already sitemap-enqueued: the discovery
+      path's seen filter must never re-queue them);
+    - hidden page j iff k % (j+2) == 0 → in-reference counts fall with
+      j (n_refs(h-j) ≈ n_s/(j+2)): the n_refs-priority signal is
+      strictly ordered;
+    - every 5th page: three crawler traps (a path loop, a >12-segment
+      path, a 9-parameter query) — the url_trap_cols gate must drop
+      all of them before the seen probe;
+    - every 7th page: an off-scope host — the scope filter drops it.
+    """
+    import re
+    m = re.match(re.escape(site_url) + r"page/\d+/doc-(\d+)$", url)
+    if not m:
+        return None
+    k = int(m.group(1))
+    links = []
+    for mult, add in ((7, 1), (13, 5)):
+        t = (k * mult + add) % n_s
+        links.append(f"{site_url}page/{t % 37}/doc-{t}")
+    for j in range(n_hidden):
+        if k % (j + 2) == 0:
+            links.append(f"{site_url}hidden/h-{j}.html")
+    if k % 5 == 0:
+        links.append(f"{site_url}trap/x/y/x/y/x/y/p.html")
+        links.append(site_url + "d/" * 13 + "deep.html")
+        links.append(f"{site_url}t?"
+                     + "&".join(f"p{i}=1" for i in range(9)))
+    if k % 7 == 0:
+        links.append(f"http://offsite.example.invalid/p-{k}")
+    return "".join(f'<a href="{u}">l</a>' for u in links)
+
+
+def add_link_layer(spark: SparkSession, world_dir: str, seed: int = 42,
+                   n_hidden_per_site: int = 6,
+                   sites: list | None = None) -> dict:
+    """Upgrade a generated world into a FOLLOW-LINKS world: every
+    sitemap doc page gains a deterministic anchor block (_link_block),
+    and each site gains ``n_hidden_per_site`` hidden pages — present in
+    the page store but in NO sitemap, reachable only by following
+    links; hidden page j links to j+1 (a chain: multi-hop discovery
+    across batches). ``text`` stays ``html_to_text(html)`` (the world
+    contract extraction byte-identity tests rely on). Sitemaps /
+    index0 / fetch_status / robots are untouched."""
+    sites = sites if sites is not None else default_sites()
+    pages = spark.read.parquet(f"{world_dir}/pages.parquet")
+    entries = spark.read.parquet(f"{world_dir}/entries.parquet")
+    n_by_site = {r["site_id"]: r["n"] for r in
+                 entries.filter(F.col("loc").rlike(r"/page/\d+/doc-\d+$"))
+                 .groupBy("site_id")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()}
+    site_info = [(s.url, n_by_site.get(s.site_id, 0)) for s in sites
+                 if n_by_site.get(s.site_id, 0) > 0]
+
+    def rewrite(iterator):
+        for pdf in iterator:
+            htmls, texts = pdf["html"].tolist(), pdf["text"].tolist()
+            for i, url in enumerate(pdf["url"].tolist()):
+                block = None
+                for site_url, n_s in site_info:
+                    if url.startswith(site_url):
+                        block = _link_block(url, site_url, n_s,
+                                            n_hidden_per_site)
+                        break
+                if block:
+                    html = bytes(htmls[i]).replace(
+                        b"</body>",
+                        b'<div class="outlinks">'
+                        + block.encode("utf-8") + b"</div></body>")
+                    htmls[i] = html
+                    texts[i] = html_to_text(html, "text/html")
+            out = pdf.copy()
+            out["html"], out["text"] = htmls, texts
+            yield out
+
+    linked = pages.mapInPandas(rewrite, _PAGE_SCHEMA)
+
+    hidden_rows = []
+    for site_url, _n in site_info:
+        for j in range(n_hidden_per_site):
+            hurl = f"{site_url}hidden/h-{j}.html"
+            warc_ts, html, text, lang = _page_for(hurl, None, seed)
+            if j + 1 < n_hidden_per_site:
+                nxt = f"{site_url}hidden/h-{j + 1}.html"
+                html = html.replace(
+                    b"</body>",
+                    f'<a href="{nxt}">next</a></body>'.encode("utf-8"))
+                text = html_to_text(html, "text/html")
+            hidden_rows.append((hurl, warc_ts, html, text, lang))
+    hidden = spark.createDataFrame(hidden_rows, _PAGE_SCHEMA)
+
+    out_path = f"{world_dir}/pages.parquet"
+    tmp_path = f"{world_dir}/pages_linked.parquet"
+    linked.unionByName(hidden).write.mode("overwrite").parquet(tmp_path)
+    import shutil
+    shutil.rmtree(out_path)
+    shutil.move(tmp_path, out_path)
+    return {"hidden_per_site": n_hidden_per_site,
+            "sites_linked": len(site_info)}

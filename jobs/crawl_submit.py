@@ -59,6 +59,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--compact-every", type=int, default=16,
                    help="fold the index MOR delta log into the base "
                         "when it exceeds K generations (0 = never)")
+    p.add_argument("--follow-links", action="store_true",
+                   help="link-following frontier discovery: extraction "
+                        "emits each page's outlinks (shared DOM parse), "
+                        "which are canonicalized, trap-gated, scoped to "
+                        "the configured hosts, seen-filtered, and "
+                        "enqueued with n_refs as the priority signal")
     p.add_argument("--warc-dir", default=None,
                    help="ingest WARC archives (Common Crawl layout) "
                         "from this path into the world's page store "
@@ -97,7 +103,8 @@ def main(argv: list[str] | None = None) -> int:
         resume=not args.no_resume, order_mode=args.order_mode,
         pages_table=args.pages_table,
         ckpt_full_every=args.ckpt_full_every,
-        compact_every=args.compact_every or None)
+        compact_every=args.compact_every or None,
+        follow_links=args.follow_links)
     n_indexed = result.index().count()
     print(json.dumps({"batches": result.batches,
                       "indexed_rows": n_indexed,
