@@ -245,35 +245,38 @@ def _crawl_order(spark, sf_dir):
 
 
 @_q("politeness_budget", """
-SELECT user_id, event_id, rn AS slot FROM (
-  SELECT user_id, event_id,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY ts, event_id) AS rn
-  FROM events) WHERE rn <= 3
+WITH f AS (SELECT CAST(user_id AS VARCHAR) AS host,
+                  event_id AS crawl_seq, value FROM events),
+fifo AS (
+  SELECT 'fifo' AS mode, host, crawl_seq FROM (
+    SELECT host, crawl_seq,
+           row_number() OVER (PARTITION BY host
+                              ORDER BY crawl_seq) AS rn
+    FROM f) WHERE rn <= 3),
+prio AS (
+  SELECT 'priority' AS mode, host, crawl_seq FROM (
+    SELECT host, crawl_seq,
+           row_number() OVER (PARTITION BY host
+                              ORDER BY value DESC NULLS LAST,
+                                       crawl_seq) AS rn
+    FROM f) WHERE rn <= 3)
+SELECT * FROM fifo UNION ALL SELECT * FROM prio
 """)
 def _politeness(spark, sf_dir):
-    """P1 analog: per-host budget = earliest-k per key window (the
-    politeness scheduler admits capacity = batch_seconds/sleeptime rows
-    per host per micro-batch)."""
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (e.withColumn("slot", F.row_number().over(w).cast("long"))
-            .filter(F.col("slot") <= 3)
-            .select("user_id", "event_id", "slot"))
+    """P1 + the north rule's priority frontier queue: the REAL
+    politeness scheduler (operators/politeness.select_batch, salted
+    two-phase top-k) in BOTH order modes, tagged:
 
+    - fifo: order_mode='reference' — lowest crawl_seq first, the
+      reference's single-threaded nested-loop order (main.py:75,107);
+    - priority: highest sitemap <priority> first (desc nulls last,
+      crawl_seq tiebreak) — the priority-queue mode link discovery
+      feeds with n_refs.
 
-@_q("priority_frontier_budget", """
-SELECT CAST(user_id AS VARCHAR) AS host, event_id AS crawl_seq
-FROM (SELECT user_id, event_id,
-        row_number() OVER (PARTITION BY user_id
-                           ORDER BY value DESC NULLS LAST, event_id) AS rn
-      FROM events) WHERE rn <= 3
-""")
-def _priority_budget(spark, sf_dir):
-    """North-rule priority frontier queue: the REAL politeness scheduler
-    in order_mode='priority' — per-host budget admits highest-priority
-    rows first (desc nulls last, crawl_seq tiebreak). capacity = 3 via
-    batch_seconds=3 / sleeptime=1."""
+    capacity = 3 per host via batch_seconds=3 / sleeptime=1. The
+    former priority_frontier_budget query is the 'priority' half
+    (folded for the roster cap); the fifo half now ALSO runs the real
+    operator instead of a plain window."""
     from ftw_crawler_spark.operators.politeness import select_batch
     e = _t(spark, sf_dir, "events")
     frontier = e.select(
@@ -282,42 +285,57 @@ def _priority_budget(spark, sf_dir):
         F.col("value").cast("string").alias("priority"))
     host_state = frontier.select("host").distinct() \
         .withColumn("sleeptime", F.lit(1.0))
-    return (select_batch(frontier, host_state, 3.0,
+    fifo = (select_batch(frontier, host_state, 3.0,
+                         order_mode="reference")
+            .select(F.lit("fifo").alias("mode"), "host", "crawl_seq"))
+    prio = (select_batch(frontier, host_state, 3.0,
                          order_mode="priority")
-            .select("host", "crawl_seq"))
-
-
-@_q("host_counts_salted", """
-SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
-""")
-def _host_counts(spark, sf_dir):
-    """Skew-safe aggregation: explicit salt → partial → merge (the
-    host-key pattern for 10^10-URL frontiers, SURVEY §4.1). Result is
-    identical to the direct groupBy; the two-phase shape bounds any one
-    reducer's key volume."""
-    e = _t(spark, sf_dir, "events")
-    partial = (e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
-               .groupBy("event_type", "salt")
-               .agg(F.count(F.lit(1)).alias("c")))
-    return (partial.groupBy("event_type")
-            .agg(F.sum("c").alias("n_events")))
+            .select(F.lit("priority").alias("mode"), "host",
+                    "crawl_seq"))
+    return fifo.unionByName(prio)
 
 
 @_q("events_daily_agg", """
-SELECT date_trunc('day', ts) AS day, event_type,
+SELECT 'daily' AS part, date_trunc('day', ts) AS day, event_type,
        count(*) AS n,
        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-FROM events GROUP BY 1, 2
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'total' AS part, NULL AS day, event_type,
+       count(*) AS n, NULL AS sum_value
+FROM events GROUP BY event_type
 """)
 def _events_daily(spark, sf_dir):
-    """Micro-batch/windowed aggregation analog (A5): exact decimal sums
-    cast back to double so the cross-engine hash is bit-stable."""
+    """A1/A2/A5 in one tagged relation:
+
+    - 'daily' rows: micro-batch/windowed aggregation analog — exact
+      decimal sums cast back to double so the cross-engine hash is
+      bit-stable;
+    - 'total' rows: the skew-safe salted two-phase count (explicit
+      salt → partial → merge — the host-key pattern for 10^10-URL
+      frontiers, SURVEY §4.1; formerly the host_counts_salted query,
+      folded for the roster cap). Result identical to a direct
+      groupBy; the two-phase shape bounds any one reducer's key
+      volume."""
     e = _t(spark, sf_dir, "events")
-    return (e.groupBy(F.date_trunc("day", "ts").alias("day"),
-                      "event_type")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum(F.col("value").cast("decimal(18,4)"))
-                 .cast("double").alias("sum_value")))
+    daily = (e.groupBy(F.date_trunc("day", "ts").alias("day"),
+                       "event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("value").cast("decimal(18,4)"))
+                  .cast("double").alias("sum_value"))
+             .select(F.lit("daily").alias("part"), "day", "event_type",
+                     "n", "sum_value"))
+    partial = (e.withColumn("salt",
+                            F.pmod(F.xxhash64("event_id"), F.lit(16)))
+               .groupBy("event_type", "salt")
+               .agg(F.count(F.lit(1)).alias("c")))
+    total = (partial.groupBy("event_type")
+             .agg(F.sum("c").alias("n"))
+             .select(F.lit("total").alias("part"),
+                     F.lit(None).cast("timestamp").alias("day"),
+                     "event_type", "n",
+                     F.lit(None).cast("double").alias("sum_value")))
+    return daily.unionByName(total)
 
 
 @_q("q1_pricing_summary", """
@@ -477,30 +495,45 @@ def _extract_wide(spark, sf_dir):
 # --- dedup family -----------------------------------------------------------
 
 
-@_q("dedup_exact_groups", """
-SELECT md5(substr(text,1,30)) AS content_hash, count(*) AS group_size,
-       min(doc_id) AS rep_doc_id
-FROM documents GROUP BY 1 HAVING count(*) > 1
+@_q("dedup_exact_wide", """
+WITH h AS (SELECT doc_id, md5(substr(text,1,30)) AS content_hash
+           FROM documents),
+g AS (SELECT content_hash, count(*) AS group_size,
+             min(doc_id) AS grp_rep
+      FROM h GROUP BY 1)
+SELECT h.doc_id, h.content_hash,
+       CASE WHEN g.group_size > 1 THEN g.group_size END
+         AS dup_group_size,
+       CASE WHEN g.group_size > 1 THEN g.grp_rep END AS rep_doc_id,
+       h.doc_id = g.grp_rep AS keep
+FROM h JOIN g USING (content_hash)
 """)
 def _dedup_exact(spark, sf_dir):
-    """Exact dedup: hash-groupBy, one shuffle with map-side combine
-    (keyed on a 30-char prefix so the synthetic corpus actually has
-    collisions)."""
+    """Exact dedup, both operators in one per-doc relation (keyed on a
+    30-char text prefix so the synthetic corpus actually collides):
+
+    - exact_dup_groups: hash-groupBy duplicate groups (one shuffle,
+      map-side combine) → dup_group_size / rep_doc_id (NULL for
+      singletons);
+    - drop_exact_dups: the min-id-representative semi-join → keep.
+
+    Formerly the dedup_exact_groups + dedup_drop_exact queries, folded
+    for the roster cap."""
     docs = _t(spark, sf_dir, "documents").withColumn(
         "k", F.substring("text", 1, 30))
-    return dedup.exact_dup_groups(docs, text_col="k")
-
-
-@_q("dedup_drop_exact", """
-SELECT doc_id FROM (
-  SELECT doc_id, row_number() OVER (PARTITION BY md5(substr(text,1,30))
-                                    ORDER BY doc_id) AS rn
-  FROM documents) WHERE rn = 1
-""")
-def _dedup_drop(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "k", F.substring("text", 1, 30))
-    return dedup.drop_exact_dups(docs, text_col="k").select("doc_id")
+    groups = dedup.exact_dup_groups(docs, text_col="k")
+    kept = (dedup.drop_exact_dups(docs, text_col="k")
+            .select("doc_id").withColumn("keep", F.lit(True)))
+    h = docs.select("doc_id", F.md5(F.col("k")).alias("content_hash"))
+    return (h.join(groups.select(
+                "content_hash",
+                F.col("group_size").alias("dup_group_size"),
+                "rep_doc_id"), "content_hash", "left")
+            .join(kept, "doc_id", "left")
+            .select("doc_id", "content_hash", "dup_group_size",
+                    "rep_doc_id",
+                    F.coalesce(F.col("keep"), F.lit(False))
+                    .alias("keep")))
 
 
 _NGRAM_SQL = f"""
@@ -574,19 +607,6 @@ bands AS ({band_rows})
 """
 
 
-@_q("dedup_minhash_bands",
-    _minhash_sql() + "SELECT doc_id, band_idx, band_hash FROM bands")
-def _minhash_bands(spark, sf_dir):
-    """MinHash signatures + LSH banding (16 perms / 4 bands). The salted
-    md5-prefix permutation hash is engine-neutral, so the ENTIRE
-    sketch pipeline is oracle-checked bit-for-bit."""
-    docs = _t(spark, sf_dir, "documents")
-    out = dedup.minhash_bands(docs)
-    return out.select(F.col("doc_id"),
-                      F.col("band_idx").cast("int").alias("band_idx"),
-                      "band_hash")
-
-
 @_q("dedup_minhash_pairs",
     _minhash_sql() + """
 SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
@@ -595,30 +615,15 @@ FROM bands a JOIN bands b
 WHERE a.doc_id < b.doc_id
 """)
 def _minhash_pairs(spark, sf_dir):
-    """LSH candidate pairs: ≥1 shared band bucket. Shuffle key =
-    (band_idx, band_hash); bucket sizes bounded by collision prob."""
+    """LSH candidate pairs: ≥1 shared band bucket (16 perms / 4 bands).
+    Shuffle key = (band_idx, band_hash); bucket sizes bounded by
+    collision prob. The oracle restates the ENTIRE sketch pipeline —
+    salted md5-prefix permutation mins, banding, bucket join — so the
+    signatures are certified bit-for-bit through the pairs they
+    produce (the former dedup_minhash_bands query was a strict
+    sub-plan of this one and was folded in for the roster cap)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_candidate_pairs(docs)
-
-
-@_q("dedup_simhash", f"""
-WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
-tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
-h AS (SELECT doc_id, {_MD5L.format('w')} AS hv FROM tok),
-bits AS (SELECT doc_id, b AS bit,
-         CASE WHEN (hv >> (63 - b)) & 1 = 1 THEN 1 ELSE -1 END AS vote
-         FROM h, (SELECT unnest(range(0, 64)) AS b)),
-agg AS (SELECT doc_id, bit, sum(vote) AS s FROM bits GROUP BY 1, 2)
-SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
-                          '' ORDER BY bit) AS simhash
-FROM agg GROUP BY doc_id
-""")
-def _simhash(spark, sf_dir):
-    """SimHash fingerprints: per-bit majority vote over the token hash
-    multiset — computed shuffle-free with aggregate() over the token
-    array (the oracle needs a 64-way explode; the engine doesn't)."""
-    docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_fingerprints(docs)
 
 
 _SIMHASH_NEAR_SQL = f"""
@@ -658,7 +663,11 @@ def _simhash_near(spark, sf_dir):
     """SimHash near-dup pairs: banded-substring LSH candidates +
     Hamming verify. The corpus is each doc plus a one-token-perturbed
     copy, so near-identical pairs exist by construction and the banded
-    join actually fires."""
+    join actually fires. The oracle restates the full fingerprint
+    construction (per-bit majority vote over token hashes), so the
+    simhash signatures are certified bit-for-bit through the pairs
+    (the former dedup_simhash query was a sub-plan of this one and was
+    folded in for the roster cap)."""
     docs = _t(spark, sf_dir, "documents")
     pert = docs.select(
         (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
@@ -802,25 +811,6 @@ def _contamination(spark, sf_dir):
     return curation.ngram_contamination(corpus, eval_docs, width=3)
 
 
-@_q("text_repetition", f"""
-WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
-grams AS (SELECT doc_id,
-  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS g
-  FROM toks)
-SELECT doc_id,
-  len(g)::BIGINT AS n_ngrams,
-  len(list_distinct(g))::BIGINT AS n_distinct,
-  (len(g) - len(list_distinct(g)))::BIGINT AS dup_ngrams,
-  (len(g) - len(list_distinct(g))) * 100 > 20 * len(g) AS repetitive
-FROM grams WHERE len(g) > 0
-""")
-def _text_repetition(spark, sf_dir):
-    """Gopher-style duplicate-bigram share (boilerplate/spam gate),
-    integer cross-mult — per-row codegen, no shuffle."""
-    docs = _t(spark, sf_dir, "documents")
-    return ts.repetition_stats(docs)
-
-
 @_q("text_length_histogram", f"""
 SELECT (len(t) // 64) * 64 AS bucket_lo,
        count(*)::BIGINT AS n_docs,
@@ -861,7 +851,8 @@ _GOPHER_OK_SQL = """(len(t) >= 50 AND len(t) <= 100000
 WITH toks AS (
   SELECT doc_id, {_TOKS_SQL} AS t,
     list_filter(string_split(text, chr(10)), ln -> trim(ln) <> '') AS lns
-  FROM documents)
+  FROM documents),
+wide AS (
 SELECT doc_id,
   len(t)::BIGINT AS n_words,
   coalesce(list_aggregate(list_transform(t, x -> length(x)), 'sum'),
@@ -880,45 +871,34 @@ SELECT doc_id,
       ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))::BIGINT
     AS stop_hits,
   {_GOPHER_OK_SQL} AS gopher_ok
-FROM toks
+FROM toks),
+rep AS (
+  SELECT doc_id,
+    len(g)::BIGINT AS n_ngrams,
+    len(list_distinct(g))::BIGINT AS n_distinct,
+    (len(g) - len(list_distinct(g)))::BIGINT AS dup_ngrams,
+    (len(g) - len(list_distinct(g))) * 100 > 20 * len(g) AS repetitive
+  FROM (SELECT doc_id,
+          list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+            AS g
+        FROM toks) WHERE len(g) > 0)
+SELECT wide.*,
+       rep.n_ngrams, rep.n_distinct, rep.dup_ngrams, rep.repetitive
+FROM wide LEFT JOIN rep USING (doc_id)
 """)
 def _text_gopher_rules(spark, sf_dir):
-    """Gopher-style quality gate (Rae et al. 2021 A1.1): word-count /
+    """Gopher-style quality gates (Rae et al. 2021 A1.1): word-count /
     mean-word-length / symbol-ratio / bullet-line / ellipsis-line /
     alpha-word / stop-word rules as ONE codegen projection — integer
-    cross-mult gates, no shuffle, no Python."""
+    cross-mult gates, no shuffle, no Python — plus the duplicate-
+    bigram repetition stats (boilerplate/spam gate; formerly the
+    text_repetition query, folded for the roster cap) left-joined per
+    doc (NULL for docs with < 2 tokens, matching repetition_stats'
+    domain)."""
     docs = _t(spark, sf_dir, "documents")
-    return ts.gopher_rules(docs)
-
-
-@_q("mixture_sample", f"""
-WITH counts AS (
-  SELECT source, count(*)::BIGINT AS c FROM documents GROUP BY source),
-w AS (
-  SELECT source, c,
-         round(sqrt(c::DOUBLE), 6)::DECIMAL(38,6) AS t FROM counts),
-p AS (
-  SELECT source,
-    CAST(floor(round(least(1.0,
-      1000.0 * t::DOUBLE / ((SELECT sum(t) FROM w)::DOUBLE
-                            * c::DOUBLE)), 6) * 1000000) AS BIGINT)
-      AS p_ppm
-  FROM w)
-SELECT d.doc_id, d.source, p.p_ppm
-FROM documents d JOIN p USING (source)
-WHERE {_MD5L.format("'m:' || doc_id")} % 1000000 < p.p_ppm
-""")
-def _mixture_sample(spark, sf_dir):
-    """Temperature-weighted (α = 0.5) mixture sampling across sources
-    — the multilingual/multi-source balancing step of a training-data
-    pipeline: per-source keep probability ∝ c^α/c from one tiny
-    aggregate, applied as a deterministic hash filter (no rand()).
-    Broadcast weights join, ONE map-side-combined shuffle."""
-    from ftw_crawler_spark.operators import sampling
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    return (sampling.mixture_sample(docs, "source", "doc_id",
-                                    target_rows=1000, alpha_quarters=2)
-            .select("doc_id", "source", "p_ppm"))
+    rep = ts.repetition_stats(docs).select(
+        "doc_id", "n_ngrams", "n_distinct", "dup_ngrams", "repetitive")
+    return ts.gopher_rules(docs).join(rep, "doc_id", "left")
 
 
 @_q("recrawl_schedule", """
@@ -944,9 +924,9 @@ def _recrawl_schedule(spark, sf_dir):
     return recrawl_schedule(ev, entity_col="user_id", ts_col="ts")
 
 
-@_q("url_canonicalize", r"""
-WITH messy AS (
-  SELECT doc_id,
+@_q("url_canonical_trap", r"""
+WITH all_urls AS (
+  SELECT 'canon' AS kind, doc_id,
     'HTTP://' ||
     CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example.COM:80'
          ELSE 'www.example.com' END ||
@@ -956,21 +936,31 @@ WITH messy AS (
          WHEN doc_id % 3 = 1 THEN '?id=' || doc_id || '&fbclid=abc'
          ELSE '' END ||
     CASE WHEN doc_id % 5 = 0 THEN '#SECTION' ELSE '' END AS url
+  FROM documents
+  UNION ALL
+  SELECT 'trap' AS kind, doc_id,
+    'http://h' || (doc_id % 5) || '.example.org' ||
+    CASE doc_id % 4
+      WHEN 0 THEN '/sec/x/sec/x/sec/'
+      WHEN 1 THEN '/s1/s2/s3/s4/s5/s6/s7/s8/s9/s10/s11/s12/s13'
+      WHEN 2 THEN '/q?p1=1&p2=2&p3=3&p4=4&p5=5&p6=6&p7=7&p8=8&p9=9'
+      ELSE '/page/' || doc_id || '?id=' || doc_id
+    END AS url
   FROM documents),
 parts AS (
-  SELECT doc_id,
+  SELECT kind, doc_id, url,
     lower(regexp_extract(regexp_replace(url, '#.*', ''),
                          '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
     regexp_replace(regexp_replace(url, '#.*', ''),
                    '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
-  FROM messy),
+  FROM all_urls),
 p2 AS (
-  SELECT doc_id, scheme,
+  SELECT kind, doc_id, url, scheme,
     lower(regexp_extract(rest, '^([^/?]*)', 1)) AS authority,
     regexp_replace(rest, '^[^/?]*', '') AS tail
   FROM parts),
 p3 AS (
-  SELECT doc_id, scheme,
+  SELECT kind, doc_id, url, scheme,
     CASE WHEN scheme = 'http' THEN regexp_replace(authority, ':80$', '')
          WHEN scheme = 'https'
            THEN regexp_replace(authority, ':443$', '')
@@ -982,19 +972,56 @@ p3 AS (
       p -> p <> ''
            AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=')),
       '&') AS q
-  FROM p2)
-SELECT doc_id,
-  scheme || '://' || host || path ||
-  CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical
-FROM p3
+  FROM p2),
+canon AS (
+  SELECT kind, doc_id, url,
+    scheme || '://' || host || path ||
+    CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical
+  FROM p3),
+segs AS (
+  SELECT kind, doc_id, url, canonical,
+    list_filter(string_split(
+      regexp_replace(regexp_extract(
+        regexp_replace(canonical, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+        '^[^?]*', 0), '^[^/]*', ''), '/'), x -> x <> '') AS s,
+    regexp_extract(regexp_replace(canonical,
+        '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '\?(.*)$', 1) AS query
+  FROM canon)
+SELECT kind, doc_id, url, canonical,
+  len(s)::BIGINT AS depth,
+  (CASE WHEN query = '' THEN 0
+        ELSE len(string_split(query, '&')) END)::BIGINT AS n_params,
+  len(list_filter(list_distinct(s),
+      q -> len(list_filter(s, x -> x = q)) >= 3)) > 0 AS has_loop,
+  (len(list_filter(list_distinct(s),
+       q -> len(list_filter(s, x -> x = q)) >= 3)) > 0
+   OR len(s) > 12
+   OR (CASE WHEN query = '' THEN 0
+            ELSE len(string_split(query, '&')) END) > 8) AS trap
+FROM segs
 """)
-def _url_canonicalize(spark, sf_dir):
-    """Frontier URL canonicalization (scheme/host case, default port,
-    fragment, tracking params) — the variant-dedup step that runs
-    before the seen-filter at web scale; pure codegen Column algebra."""
-    from ftw_crawler_spark.functions.urls import canonical_url_col
+def _url_canonical_trap(spark, sf_dir):
+    """The frontier's two pre-seen-filter URL gates composed exactly as
+    the --follow-links discovery path runs them — canonicalize, then
+    trap-gate the canonical form so alias variants don't dodge the
+    gate (formerly the url_canonicalize + url_trap_detection queries,
+    folded for the roster cap):
+
+    - 'canon' rows: a messy synthesized frontier (scheme/host case,
+      default port, fragment, tracking params) — the variant-dedup
+      step before the seen filter;
+    - 'trap' rows: loop paths, 13-deep machine paths, 9-param
+      explosions, benign pages — per-URL depth/params/loop signals
+      and the combined trap flag that stops a 10^10-URL crawl from
+      sinking budget into auto-generated URL spaces.
+
+    Every row carries BOTH the canonical form and the trap signals of
+    that canonical form; all pure codegen Column algebra."""
+    from ftw_crawler_spark.functions.urls import (canonical_url_col,
+                                                  url_trap_cols)
     docs = _t(spark, sf_dir, "documents")
     d = F.col("doc_id").cast("string")
+    did = F.col("doc_id")
     messy = F.concat(
         F.lit("HTTP://"),
         F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.Example.COM:80"))
@@ -1008,36 +1035,84 @@ def _url_canonicalize(spark, sf_dir):
         .otherwise(F.lit("")),
         F.when(F.col("doc_id") % 5 == 0, F.lit("#SECTION"))
         .otherwise(F.lit("")))
-    return docs.select(
-        "doc_id", canonical_url_col(messy).alias("canonical"))
+    trap_url = F.concat(
+        F.lit("http://h"), (did % 5).cast("string"),
+        F.lit(".example.org"),
+        F.when(did % 4 == 0, F.lit("/sec/x/sec/x/sec/"))
+        .when(did % 4 == 1,
+              F.lit("/s1/s2/s3/s4/s5/s6/s7/s8/s9/s10/s11/s12/s13"))
+        .when(did % 4 == 2,
+              F.lit("/q?p1=1&p2=2&p3=3&p4=4&p5=5&p6=6&p7=7&p8=8&p9=9"))
+        .otherwise(F.concat(F.lit("/page/"), did.cast("string"),
+                            F.lit("?id="), did.cast("string"))))
+    urls = (docs.select(F.lit("canon").alias("kind"), "doc_id",
+                        messy.alias("url"))
+            .unionByName(docs.select(F.lit("trap").alias("kind"),
+                                     "doc_id", trap_url.alias("url"))))
+    flags = url_trap_cols(F.col("canonical"))
+    return (urls
+            .withColumn("canonical", canonical_url_col(F.col("url")))
+            .select("kind", "doc_id", "url", "canonical",
+                    *[c.alias(n) for n, c in flags.items()]))
 
 
-@_q("sample_deterministic", f"""
-SELECT 'bernoulli' AS method, doc_id, source FROM documents
+@_q("sampling_methods", f"""
+WITH counts AS (
+  SELECT source, count(*)::BIGINT AS c FROM documents GROUP BY source),
+w AS (
+  SELECT source, c,
+         round(sqrt(c::DOUBLE), 6)::DECIMAL(38,6) AS t FROM counts),
+p AS (
+  SELECT source,
+    CAST(floor(round(least(1.0,
+      1000.0 * t::DOUBLE / ((SELECT sum(t) FROM w)::DOUBLE
+                            * c::DOUBLE)), 6) * 1000000) AS BIGINT)
+      AS p_ppm
+  FROM w)
+SELECT 'bernoulli' AS method, doc_id, source, NULL::BIGINT AS p_ppm
+FROM documents
 WHERE {_MD5L.format("'s:' || doc_id")} % 1000000 < 250000
 UNION ALL
-SELECT 'stratified' AS method, doc_id, source FROM (
+SELECT 'stratified' AS method, doc_id, source, NULL::BIGINT AS p_ppm
+FROM (
   SELECT doc_id, source,
          row_number() OVER (PARTITION BY source
                             ORDER BY md5('t:' || doc_id), doc_id) AS rn
   FROM documents) WHERE rn <= 7
+UNION ALL
+SELECT 'mixture' AS method, d.doc_id, d.source, p.p_ppm
+FROM documents d JOIN p USING (source)
+WHERE {_MD5L.format("'m:' || doc_id")} % 1000000 < p.p_ppm
 """)
-def _sample_deterministic(spark, sf_dir):
-    """Both deterministic sampling operators, tagged by method:
+def _sampling_methods(spark, sf_dir):
+    """All three deterministic sampling operators, tagged by method
+    (formerly the sample_deterministic + mixture_sample queries,
+    folded for the roster cap):
 
     - bernoulli: ~25% corpus sample keyed on a content hash of the
       doc id — reproducible across reruns/partitionings (no rand());
     - stratified: exactly-n-per-source quota sample in deterministic
-      hash order — the per-source cap every mixture-curation pipeline
-      needs."""
+      hash order (salted two-phase top-k — no stratum-sized
+      partition), the per-source cap every mixture pipeline needs;
+    - mixture: temperature-weighted (α = 0.5) source balancing — per-
+      source keep probability ∝ c^α/c from one tiny aggregate
+      (decimal-pinned Σc^α), applied as a deterministic hash filter
+      via a broadcast weights join; p_ppm is its per-source rate."""
     from ftw_crawler_spark.operators import sampling
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    nil = F.lit(None).cast("long").alias("p_ppm")
     bern = sampling.hash_sample(docs, "doc_id", rate_ppm=250_000) \
-        .select(F.lit("bernoulli").alias("method"), "doc_id", "source")
+        .select(F.lit("bernoulli").alias("method"), "doc_id", "source",
+                nil)
     strat = sampling.stratified_sample(docs, "source", "doc_id",
                                        n_per_stratum=7) \
-        .select(F.lit("stratified").alias("method"), "doc_id", "source")
-    return bern.unionByName(strat)
+        .select(F.lit("stratified").alias("method"), "doc_id", "source",
+                nil)
+    mix = (sampling.mixture_sample(docs, "source", "doc_id",
+                                   target_rows=1000, alpha_quarters=2)
+           .select(F.lit("mixture").alias("method"), "doc_id", "source",
+                   "p_ppm"))
+    return bern.unionByName(strat).unionByName(mix)
 
 
 @_q("metadata_dc_precedence", """
@@ -1437,70 +1512,6 @@ def _priority_by_pagerank(spark, sf_dir):
             .select("host", "crawl_seq", "pr_r6"))
 
 
-@_q("url_trap_detection", """
-WITH urls AS (
-  SELECT doc_id,
-    'http://h' || (doc_id % 5) || '.example.org' ||
-    CASE doc_id % 4
-      WHEN 0 THEN '/sec/x/sec/x/sec/'
-      WHEN 1 THEN '/s1/s2/s3/s4/s5/s6/s7/s8/s9/s10/s11/s12/s13'
-      WHEN 2 THEN '/q?p1=1&p2=2&p3=3&p4=4&p5=5&p6=6&p7=7&p8=8&p9=9'
-      ELSE '/page/' || doc_id || '?id=' || doc_id
-    END AS url
-  FROM documents),
-parts AS (
-  SELECT doc_id, url,
-    regexp_replace(regexp_extract(
-      regexp_replace(regexp_replace(url, '#.*', ''),
-                     '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
-      '^[^?]*', 0), '^[^/]*', '') AS path,
-    regexp_extract(regexp_replace(regexp_replace(url, '#.*', ''),
-                   '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
-                   '\\?(.*)$', 1) AS query
-  FROM urls),
-segs AS (
-  SELECT doc_id, url,
-    list_filter(string_split(path, '/'), x -> x <> '') AS s,
-    query
-  FROM parts)
-SELECT doc_id, url,
-  len(s)::BIGINT AS depth,
-  (CASE WHEN query = '' THEN 0
-        ELSE len(string_split(query, '&')) END)::BIGINT AS n_params,
-  len(list_filter(list_distinct(s),
-      q -> len(list_filter(s, x -> x = q)) >= 3)) > 0 AS has_loop,
-  (len(list_filter(list_distinct(s),
-       q -> len(list_filter(s, x -> x = q)) >= 3)) > 0
-   OR len(s) > 12
-   OR (CASE WHEN query = '' THEN 0
-            ELSE len(string_split(query, '&')) END) > 8) AS trap
-FROM segs
-""")
-def _url_trap_detection(spark, sf_dir):
-    """Crawler-trap gate over a synthesized frontier (loop paths, 13-
-    deep machine paths, 9-param explosions, benign pages): per-URL
-    depth/params/loop signals and the combined trap flag — pure
-    codegen, the pre-seen-filter guard that stops a 10^10-URL crawl
-    from sinking budget into auto-generated URL spaces."""
-    from ftw_crawler_spark.functions.urls import url_trap_cols
-    d = _t(spark, sf_dir, "documents").select("doc_id")
-    did = F.col("doc_id")
-    url = F.concat(
-        F.lit("http://h"), (did % 5).cast("string"),
-        F.lit(".example.org"),
-        F.when(did % 4 == 0, F.lit("/sec/x/sec/x/sec/"))
-        .when(did % 4 == 1,
-              F.lit("/s1/s2/s3/s4/s5/s6/s7/s8/s9/s10/s11/s12/s13"))
-        .when(did % 4 == 2,
-              F.lit("/q?p1=1&p2=2&p3=3&p4=4&p5=5&p6=6&p7=7&p8=8&p9=9"))
-        .otherwise(F.concat(F.lit("/page/"), did.cast("string"),
-                            F.lit("?id="), did.cast("string"))))
-    flags = url_trap_cols(F.col("url"))
-    return (d.select("doc_id", url.alias("url"))
-            .select("doc_id", "url",
-                    *[c.alias(n) for n, c in flags.items()]))
-
-
 @_q("curation_line_dedup", """
 WITH src AS (
   SELECT doc_id,
@@ -1862,54 +1873,6 @@ def _emb_neardup(spark, sf_dir):
 # --- E-family scalar extractors via the REAL engine ------------------------
 
 
-@_q("slug_xpath_extract", """
-SELECT doc_id, lower(source) || '-' || doc_id || '-bar' AS slug,
-  CASE WHEN doc_id % 5 = 0 THEN NULL
-       ELSE 'Deep ' || doc_id || ' tail' END AS h1_text
-FROM documents
-""")
-def _slug_xpath(spark, sf_dir):
-    """E4 + E8 through one engine run over one resource frame:
-
-    - slug: SlugExtractor — unquote_plus + slugify of the last path
-      segment (extractors.py:161-177; goldens
-      test_extractors.py:544-598). Input urls are constructed so
-      '+'→space, %20→space, %C3%A4→'ä'→'a' all fire, yet the expected
-      slug has a closed form the oracle states directly;
-    - h1_text: XPathExtractor — //div[@id='content']/h1 over the
-      parsed DOM with descendant text_content (extractors.py:231-285;
-      the 'Der Bärengraben' golden shape, test_extractors.py:312-317:
-      the h1 contains a nested <span>, whose text must be included).
-      doc_id%5==0 rows have no matching node → no value → NULL."""
-    docs = _t(spark, sf_dir, "documents")
-    sid = F.col("doc_id").cast("string")
-    seg = F.concat(F.col("source"), F.lit("+"),
-                   sid, F.lit("%20b%C3%A4r"))
-    html = F.when(
-        F.col("doc_id") % 5 == 0,
-        F.lit("<html><body><h1>outside content div</h1></body></html>")
-    ).otherwise(F.concat(
-        F.lit('<html><body><div id="content"><h1><span>Deep</span> '),
-        sid, F.lit(" tail</h1></div><p>body</p></body></html>")))
-    resources = docs.select(
-        "doc_id",
-        F.concat(F.lit("https://x.example/sec/"), seg).alias("loc"),
-        F.lit(None).cast("string").alias("lastmod"),
-        F.lit(None).cast("string").alias("target"),
-        F.encode(html, "UTF-8").alias("html"),
-        F.lit("").alias("text"),
-        F.lit("text/html").alias("content_type"),
-        F.create_map(F.lit("content-type"),
-                     F.lit("text/html")).alias("headers"),
-        F.lit(None).cast("map<string,string>").alias("site_attributes"))
-    fields = [cfg.Field("slug", cfg.SlugExtractor()),
-              cfg.Field("h1_text",
-                        cfg.XPathExtractor("//div[@id='content']/h1"))]
-    return extract_documents(resources,
-                             cfg.CrawlerConfig(sites=[], fields=fields),
-                             CRAWL_TIME, passthrough=("doc_id",))
-
-
 @_q("extractor_fields_wide", """
 SELECT doc_id,
   CASE doc_id % 3 WHEN 0 THEN 'HTML page'
@@ -1924,13 +1887,19 @@ SELECT doc_id,
     WHEN 0 THEN ('2020-03-0' || (1 + doc_id % 9))::TIMESTAMP
     WHEN 1 THEN TIMESTAMP '2021-07-15 08:30:00' - INTERVAL 2 HOUR
     ELSE TIMESTAMP '2019-12-31 23:59:59'
-  END AS modified
+  END AS modified,
+  lower(source) || '-' || doc_id || '-bar' AS slug,
+  CASE WHEN doc_id % 5 = 0 THEN NULL
+       ELSE 'Deep ' || doc_id || ' tail' END AS h1_text
 FROM documents
 """)
 def _extractor_fields(spark, sf_dir):
     """E17 + E18 + E10 + E12 through ONE engine run over ONE resource
     frame (the engine's real multi-field path — fields resolve in
-    topological order, doc_type_label reads doc_format's value):
+    topological order, doc_type_label reads doc_format's value), plus
+    E4 + E8 through a second engine run over a second resource frame
+    joined back on doc_id (formerly the slug_xpath_extract query,
+    folded for the roster cap):
 
     - doc_format: HeaderMappingExtractor — header value,
       charset-stripped, through a mapping dict with default
@@ -1943,7 +1912,17 @@ def _extractor_fields(spark, sf_dir):
     - modified: LastModifiedExtractor's lenient ISO parse — date-only,
       +02:00 offset, and Z forms, naive→assume-UTC (utils.py:14-37,
       extractors.py:330-344; test_utils.py:58-65). The oracle states
-      the expected UTC instants in closed form."""
+      the expected UTC instants in closed form;
+    - slug: SlugExtractor — unquote_plus + slugify of the last path
+      segment (extractors.py:161-177; goldens
+      test_extractors.py:544-598). Input urls are constructed so
+      '+'→space, %20→space, %C3%A4→'ä'→'a' all fire, yet the expected
+      slug has a closed form the oracle states directly;
+    - h1_text: XPathExtractor — //div[@id='content']/h1 over the
+      parsed DOM with descendant text_content (extractors.py:231-285;
+      the 'Der Bärengraben' golden shape, test_extractors.py:312-317:
+      the h1 contains a nested <span>, whose text must be included).
+      doc_id%5==0 rows have no matching node → no value → NULL."""
     docs = _t(spark, sf_dir, "documents")
     sid = F.col("doc_id").cast("string")
     ct = (F.when(F.col("doc_id") % 3 == 0,
@@ -1984,8 +1963,35 @@ def _extractor_fields(spark, sf_dir):
     out = extract_documents(resources,
                             cfg.CrawlerConfig(sites=[], fields=fields),
                             CRAWL_TIME, passthrough=("doc_id",))
-    return out.select("doc_id", "doc_format", "doc_type_label",
-                      "filename", "modified")
+    out = out.select("doc_id", "doc_format", "doc_type_label",
+                     "filename", "modified")
+
+    seg = F.concat(F.col("source"), F.lit("+"),
+                   sid, F.lit("%20b%C3%A4r"))
+    html = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.lit("<html><body><h1>outside content div</h1></body></html>")
+    ).otherwise(F.concat(
+        F.lit('<html><body><div id="content"><h1><span>Deep</span> '),
+        sid, F.lit(" tail</h1></div><p>body</p></body></html>")))
+    resources2 = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://x.example/sec/"), seg).alias("loc"),
+        F.lit(None).cast("string").alias("lastmod"),
+        F.lit(None).cast("string").alias("target"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("text/html").alias("content_type"),
+        F.create_map(F.lit("content-type"),
+                     F.lit("text/html")).alias("headers"),
+        F.lit(None).cast("map<string,string>").alias("site_attributes"))
+    fields2 = [cfg.Field("slug", cfg.SlugExtractor()),
+               cfg.Field("h1_text",
+                         cfg.XPathExtractor("//div[@id='content']/h1"))]
+    slugs = extract_documents(
+        resources2, cfg.CrawlerConfig(sites=[], fields=fields2),
+        CRAWL_TIME, passthrough=("doc_id",))
+    return out.join(slugs, "doc_id")
 
 
 @_q("sitemap_parse_roundtrip", """
@@ -2037,7 +2043,7 @@ def _sitemap_roundtrip(spark, sf_dir):
                 F.col("e.changefreq").alias("changefreq")))
 
 
-@_q("upsert_merge_lww", """
+@_q("index_upsert_diff", """
 WITH base AS (
   SELECT md5(doc_id::VARCHAR) AS "UID", doc_id,
          'v0-' || doc_id AS title, 0 AS op_seq, false AS is_delete
@@ -2055,19 +2061,48 @@ log AS (SELECT * FROM base UNION ALL SELECT * FROM tomb
 resolved AS (
   SELECT *, row_number() OVER (PARTITION BY "UID"
                                ORDER BY op_seq DESC) AS rn
-  FROM log)
-SELECT "UID", doc_id, title FROM resolved
-WHERE rn = 1 AND NOT is_delete
+  FROM log),
+old AS (SELECT doc_id, source, n_chars FROM documents
+        WHERE doc_id % 10 <> 0),
+new AS (SELECT doc_id, source,
+        CASE WHEN doc_id % 3 = 0 THEN n_chars + 1 ELSE n_chars END
+          AS n_chars
+        FROM documents WHERE doc_id % 7 <> 0)
+SELECT 'lww' AS part, "UID", doc_id, title,
+       NULL AS change, NULL AS old_source, NULL::BIGINT AS old_n_chars,
+       NULL AS new_source, NULL::BIGINT AS new_n_chars
+FROM resolved WHERE rn = 1 AND NOT is_delete
+UNION ALL
+SELECT 'diff' AS part, NULL AS "UID",
+  coalesce(o.doc_id, n.doc_id) AS doc_id, NULL AS title,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN o.source IS NOT DISTINCT FROM n.source
+        AND o.n_chars IS NOT DISTINCT FROM n.n_chars THEN 'unchanged'
+       ELSE 'changed' END AS change,
+  o.source AS old_source, o.n_chars AS old_n_chars,
+  n.source AS new_source, n.n_chars AS new_n_chars
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """)
-def _upsert_merge(spark, sf_dir):
-    """S8/S9: the index sink's upsert-by-UID semantics — an append-only
-    log of versions + tombstones resolved last-writer-wins on read (the
-    Iceberg MERGE INTO fallback, indexsink.py + SURVEY §4.3) — through
-    the REAL IndexSink. Ordering matches the crawl: base snapshot
-    (op_seq -2) < purge tombstones (-1) < crawl upserts (crawl_seq ≥ 0),
-    so a purged-then-recrawled UID survives with its new version."""
+def _index_upsert_diff(spark, sf_dir):
+    """The index sink's lifecycle, tagged (formerly the
+    upsert_merge_lww + index_snapshot_diff queries, folded for the
+    roster cap):
+
+    - 'lww' rows — S8/S9: upsert-by-UID semantics, an append-only log
+      of versions + tombstones resolved last-writer-wins on read (the
+      Iceberg MERGE INTO fallback, indexsink.py + SURVEY §4.3) through
+      the REAL IndexSink. Ordering matches the crawl: base snapshot
+      (op_seq -2) < purge tombstones (-1) < crawl upserts (≥ 0), so a
+      purged-then-recrawled UID survives with its new version;
+    - 'diff' rows — the re-crawl delta report: two index snapshots
+      full-outer-joined on the key, rows classified added / removed /
+      changed / unchanged by a NULL-safe fingerprint compare. Both
+      scans prune to key + fingerprint columns, so the shuffle
+      carries fingerprints, not documents."""
     import tempfile
 
+    from ftw_crawler_spark.operators.incremental import snapshot_diff
     from ftw_crawler_spark.operators.indexsink import IndexSink
 
     docs = _t(spark, sf_dir, "documents")
@@ -2087,34 +2122,14 @@ def _upsert_merge(spark, sf_dir):
     sink.write_base(base)                    # op_seq -2
     sink.append_deletes(tomb, batch_id=0)    # op_seq -1 (purge phase)
     sink.append_upserts(delta, batch_id=1)   # op_seq  1 (crawl phase)
-    return sink.current().select("UID", "doc_id", "title")
+    lww = sink.current().select(
+        F.lit("lww").alias("part"), "UID", "doc_id", "title",
+        F.lit(None).cast("string").alias("change"),
+        F.lit(None).cast("string").alias("old_source"),
+        F.lit(None).cast("long").alias("old_n_chars"),
+        F.lit(None).cast("string").alias("new_source"),
+        F.lit(None).cast("long").alias("new_n_chars"))
 
-
-@_q("index_snapshot_diff", """
-WITH old AS (SELECT doc_id, source, n_chars FROM documents
-             WHERE doc_id % 10 <> 0),
-new AS (SELECT doc_id, source,
-        CASE WHEN doc_id % 3 = 0 THEN n_chars + 1 ELSE n_chars END
-          AS n_chars
-        FROM documents WHERE doc_id % 7 <> 0)
-SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-  CASE WHEN o.doc_id IS NULL THEN 'added'
-       WHEN n.doc_id IS NULL THEN 'removed'
-       WHEN o.source IS NOT DISTINCT FROM n.source
-        AND o.n_chars IS NOT DISTINCT FROM n.n_chars THEN 'unchanged'
-       ELSE 'changed' END AS change,
-  o.source AS old_source, o.n_chars AS old_n_chars,
-  n.source AS new_source, n.n_chars AS new_n_chars
-FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
-""")
-def _snapshot_diff(spark, sf_dir):
-    """Re-crawl delta report (the operational view of an incremental
-    crawl): two index snapshots full-outer-joined on the key, rows
-    classified added/removed/changed/unchanged by a NULL-safe
-    fingerprint compare. Both scans prune to key + fingerprint
-    columns, so the shuffle carries fingerprints, not documents."""
-    from ftw_crawler_spark.operators.incremental import snapshot_diff
-    docs = _t(spark, sf_dir, "documents")
     old = (docs.filter(F.col("doc_id") % 10 != 0)
            .select("doc_id", "source", "n_chars"))
     new = (docs.filter(F.col("doc_id") % 7 != 0)
@@ -2122,8 +2137,15 @@ def _snapshot_diff(spark, sf_dir):
                    F.when(F.col("doc_id") % 3 == 0,
                           F.col("n_chars") + 1)
                    .otherwise(F.col("n_chars")).alias("n_chars")))
-    return snapshot_diff(old, new, key_col="doc_id",
-                         fingerprint_cols=("source", "n_chars"))
+    diff = (snapshot_diff(old, new, key_col="doc_id",
+                          fingerprint_cols=("source", "n_chars"))
+            .select(F.lit("diff").alias("part"),
+                    F.lit(None).cast("string").alias("UID"),
+                    "doc_id",
+                    F.lit(None).cast("string").alias("title"),
+                    "change", "old_source", "old_n_chars",
+                    "new_source", "new_n_chars"))
+    return lww.unionByName(diff)
 
 
 @_q("robots_gate", """
@@ -2185,7 +2207,8 @@ SELECT m.doc_id, j,
   ('0x'||substr(md5(j || ':' || text),1,15))::BIGINT
     / 1152921504606846976.0 AS component,
   n_bytes, width, height, magic, out_w, out_h,
-  md5(out_w || 'x' || out_h || ':' || text) AS resized_hash
+  md5(out_w || 'x' || out_h || ':' || text) AS resized_hash,
+  CASE WHEN j < 3 THEN md5(j || ':' || text) END AS frame_hash
 FROM meta m JOIN fit USING (doc_id), (SELECT unnest(range(0, 8)) AS j)
 """)
 def _multimodal_meta(spark, sf_dir):
@@ -2200,7 +2223,12 @@ def _multimodal_meta(spark, sf_dir):
     - feature_extract: binary → fixed-dim array<double> embedding (a
       real encoder swaps in with the same plan shape), exploded to
       scalar components for the cross-engine value-hash (array columns
-      stringify differently per engine).
+      stringify differently per engine);
+    - frame_sample: video-frame-sampling plumbing — 1 binary row →
+      n_frames rows via mapInPandas (Arrow batches, no shuffle),
+      left-joined back on (doc_id, j == frame_idx) so each wide row
+      j < 3 carries its frame_hash (folded in from the former
+      multimodal_frame_sample query for the roster cap).
 
     The codec is a deterministic fake (sandbox has no image libs —
     multimodal.decode_image is the honest NotImplementedError hook);
@@ -2217,20 +2245,11 @@ def _multimodal_meta(spark, sf_dir):
                     F.posexplode("feature").alias("j", "component"))
             .select("doc_id", F.col("j").cast("long").alias("j"),
                     "component"))
-    return comp.join(meta, "doc_id").join(fit, "doc_id")
-
-
-@_q("multimodal_frame_sample", """
-SELECT doc_id, k::BIGINT AS frame_idx, md5(k || ':' || text) AS frame_hash
-FROM documents, (SELECT unnest(range(0, 3)) AS k)
-""")
-def _frame_sample(spark, sf_dir):
-    """Video-frame-sampling plumbing: 1 binary row → n_frames rows via
-    mapInPandas (Arrow batches, no shuffle); deterministic fake codec
-    (md5 of frame index + blob) keeps it oracle-exact."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("blob"))
-    return multimodal.frame_sample(docs, n_frames=3)
+    frames = (multimodal.frame_sample(docs, n_frames=3)
+              .select("doc_id", F.col("frame_idx").cast("long").alias("j"),
+                      "frame_hash"))
+    return (comp.join(meta, "doc_id").join(fit, "doc_id")
+            .join(frames, ["doc_id", "j"], "left"))
 
 
 # --- crawl end-to-end (rows-only) ------------------------------------------
