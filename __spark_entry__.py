@@ -1324,6 +1324,193 @@ def _curation_pipeline(spark, sf_dir):
     return sampled.select("doc_id", "source", "pred_lang")
 
 
+def _stream_dedup_sql() -> str:
+    """Closed-form restatement of the streaming near-dup gate's
+    admission (streaming/dedup_stream.py — same sketches, same
+    deterministic policy) over a two-batch corpus, composed with the
+    batch curation funnel:
+
+    batch 0 = the documents table (full texts are unique and none
+    embeds another's ``' zz9'`` suffix, so the exact gates are no-ops
+    — verified properties of the synthetic corpus); in-batch near
+    pairs (Jaccard ≥ 0.6 over distinct 3-shingles, round(j,4) like the
+    engine) collapse via connected components to the min doc id.
+    batch 1 = each doc perturbed (+' zz9', id+1e6); a new doc drops
+    iff it Jaccard-verifies ≥ τ against ANY stored doc band-collided
+    by the batch (the engine fetches back ALL collided old texts, not
+    per-pair) — bands restated with the same md5-base universal-hash
+    MinHash family (16 perms / 4 bands); survivors then run the
+    in-batch component gate among themselves."""
+    n_perm, bands, r = 16, 4, 4
+    consts = dedup._minhash_consts(n_perm)
+    mins = ",\n  ".join(
+        f"min(({a}*x+{b})%{dedup.MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(consts))
+    band_rows = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band_idx, md5({expr}) AS band_hash"
+        " FROM sigC".format(
+            b=b, expr="||':'||".join(
+                f"mh{b * r + j}" for j in range(r)))
+        for b in range(bands))
+    hits = {lang: _LANG_HIT.format(words=", ".join(
+        f"'{w}'" for w in ts.STOPWORDS[lang]))
+        for lang in ts.LANG_ORDER}
+    return f"""
+WITH RECURSIVE
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' zz9' AS text
+  FROM documents),
+toksC AS (SELECT doc_id, {_TOKS_SQL} AS t FROM corpus),
+shC AS (SELECT doc_id, list_distinct(
+         [t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1)]) AS shs
+        FROM toksC WHERE len(t) >= 3),
+exC AS (SELECT doc_id, unnest(shs) AS s FROM shC),
+sizesC AS (SELECT doc_id, count(*) AS n FROM exC GROUP BY doc_id),
+jp AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+       FROM exC a JOIN exC b USING (s) WHERE a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+jac AS (SELECT a, b FROM jp JOIN sizesC sa ON sa.doc_id = jp.a
+                            JOIN sizesC sb ON sb.doc_id = jp.b
+        WHERE round(shared::DOUBLE / (sa.n + sb.n - shared), 4)
+              >= 0.6),
+e0 AS (SELECT a AS src, b AS dst FROM jac WHERE b < 1000000
+       UNION SELECT b AS src, a AS dst FROM jac WHERE b < 1000000),
+reach0(src, dst) AS (
+  SELECT src, dst FROM e0
+  UNION
+  SELECT r.src, e.dst FROM reach0 r JOIN e0 e ON r.dst = e.src),
+drop0 AS (SELECT src AS doc_id FROM reach0 GROUP BY src
+          HAVING least(src, min(dst)) <> src),
+admit0 AS (SELECT doc_id FROM corpus WHERE doc_id < 1000000
+           AND doc_id NOT IN (SELECT doc_id FROM drop0)),
+exH AS (SELECT doc_id,
+        (('0x'||substr(md5(unnest(shs)),1,15))::BIGINT
+         & {dedup.MINHASH_MASK}) AS x FROM shC),
+sigC AS (SELECT doc_id, {mins} FROM exH GROUP BY doc_id),
+bandsC AS ({band_rows}),
+hit_old AS (
+  SELECT DISTINCT b0.doc_id FROM bandsC b0
+  JOIN (SELECT DISTINCT band_idx, band_hash FROM bandsC
+        WHERE doc_id >= 1000000) nb USING (band_idx, band_hash)
+  WHERE b0.doc_id IN (SELECT doc_id FROM admit0)),
+surv1 AS (SELECT doc_id FROM corpus WHERE doc_id >= 1000000
+          AND doc_id NOT IN (
+            SELECT j.b FROM jac j
+            WHERE j.b >= 1000000
+              AND j.a IN (SELECT doc_id FROM hit_old))),
+e1 AS (SELECT a AS src, b AS dst FROM jac
+       WHERE a IN (SELECT doc_id FROM surv1)
+         AND b IN (SELECT doc_id FROM surv1)
+       UNION
+       SELECT b AS src, a AS dst FROM jac
+       WHERE a IN (SELECT doc_id FROM surv1)
+         AND b IN (SELECT doc_id FROM surv1)),
+reach1(src, dst) AS (
+  SELECT src, dst FROM e1
+  UNION
+  SELECT r.src, e.dst FROM reach1 r JOIN e1 e ON r.dst = e.src),
+drop1 AS (SELECT src AS doc_id FROM reach1 GROUP BY src
+          HAVING least(src, min(dst)) <> src),
+admitted AS (SELECT doc_id FROM admit0
+             UNION ALL
+             SELECT doc_id FROM surv1
+             WHERE doc_id NOT IN (SELECT doc_id FROM drop1)),
+atoks AS (
+  SELECT c.doc_id, {_TOKS_SQL} AS t,
+    list_filter(string_split(text, chr(10)), ln -> trim(ln) <> '') AS lns
+  FROM corpus c JOIN admitted USING (doc_id)),
+hitsA AS (SELECT doc_id, t, lns, {hits['en']} AS en, {hits['de']} AS de,
+                 {hits['fr']} AS fr, {hits['es']} AS es FROM atoks),
+gatesA AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+  CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+       WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+       WHEN fr >= es AND fr > 0 THEN 'fr'
+       WHEN es > 0 THEN 'es'
+       ELSE 'und' END AS pred_lang,
+  (len(t) >= 10 AND len(t) <= 10000
+   AND coalesce(list_aggregate(list_transform(t, x -> length(x)),
+                               'sum'), 0) >= 3 * len(t)
+   AND coalesce(list_aggregate(list_transform(t, x -> length(x)),
+                               'sum'), 0) <= 12 * len(t)) AS quality_ok,
+  {_GOPHER_OK_SQL} AS gopher_ok,
+  (len(t) >= 2
+   AND (len(t) - 1 - len(list_distinct(
+          [t[i] || ' ' || t[i + 1] for i in range(1, len(t))]))) * 100
+       > 20 * (len(t) - 1)) AS repetitive
+  FROM hitsA),
+stagedA AS (
+  SELECT CASE WHEN pred_lang <> 'en' THEN 'lang'
+              WHEN NOT quality_ok THEN 'quality'
+              WHEN NOT gopher_ok THEN 'gopher'
+              WHEN repetitive THEN 'repetition'
+              ELSE 'kept' END AS stage, n_tokens
+  FROM gatesA)
+SELECT 'admitted' AS part, doc_id, NULL AS stage,
+       NULL::BIGINT AS n_docs, NULL::BIGINT AS sum_tokens
+FROM admitted
+UNION ALL
+SELECT 'funnel' AS part, NULL::BIGINT AS doc_id, stage,
+       count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens
+FROM stagedA GROUP BY stage
+"""
+
+
+@_q("stream_dedup_curation", _stream_dedup_sql())
+def _stream_dedup_curation(spark, sf_dir):
+    """The crawl→curate-continuously composition a 100-TB pipeline
+    actually runs: the STREAMING incremental near-dup gate
+    (streaming/dedup_stream.DedupStream — real readStream file source,
+    foreachBatch, append-only parquet state, exactly-once replay)
+    admits two micro-batches (the corpus, then a near-duplicate
+    perturbation of it), and the admitted output flows through the
+    BATCH curation funnel (operators/curation.quality_funnel — lang →
+    quality → gopher → repetition → kept stage attribution):
+
+    - 'admitted' rows certify the exact cross-batch admission set
+      (exact gates, LSH band prune vs the state store, Jaccard ≥ 0.6
+      verify over ONLY collided old texts, in-batch components);
+    - 'funnel' rows certify the downstream per-gate drop accounting
+      over that admitted set.
+
+    The oracle restates the full admission policy in SQL — including
+    the band prune, so an LSH false negative is a false negative in
+    BOTH engines and the compare is bit-honest (same argument as
+    tests/test_dedup_stream.py's plain-Python oracle)."""
+    import tempfile
+
+    from ftw_crawler_spark.operators.curation import quality_funnel
+    from ftw_crawler_spark.streaming.dedup_stream import DedupStream
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pert = docs.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9")).alias("text"))
+    root = tempfile.mkdtemp(prefix="ftw_stream_q_")
+    delta = os.path.join(root, "in")
+    gate = DedupStream(spark, os.path.join(root, "state"), tau=0.6)
+    # one wave per micro-batch, drained before the next lands — pins
+    # the batch order the admission policy is defined over (the same
+    # pattern as test_dedup_stream.test_real_stream_plumbing)
+    docs.coalesce(1).write.mode("append").parquet(delta)
+    gate.run_available(delta)
+    pert.coalesce(1).write.mode("append").parquet(delta)
+    gate.run_available(delta)
+
+    admitted = gate.admitted()
+    part_admitted = admitted.select(
+        F.lit("admitted").alias("part"), "doc_id",
+        F.lit(None).cast("string").alias("stage"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("sum_tokens"))
+    funnel = quality_funnel(admitted).select(
+        F.lit("funnel").alias("part"),
+        F.lit(None).cast("long").alias("doc_id"),
+        "stage", "n_docs", "sum_tokens")
+    return part_admitted.unionByName(funnel)
+
+
 @_q("token_fingerprint", f"""
 WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
 sh AS (SELECT doc_id, list_distinct(
