@@ -395,6 +395,10 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     k-means refinement loop. ``stats``, when given, receives
     {"rounds": n} for observability/tests.
     """
+    if algorithm not in ("propagation", "pointer_doubling"):
+        # fail loudly: a typo here would silently run the wrong
+        # round-complexity class on a 10^10-edge graph
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = (pairs.select(F.col(a_col).alias("src"),
                           F.col(b_col).alias("dst"))
              .unionByName(pairs.select(F.col(b_col).alias("src"),
