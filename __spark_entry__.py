@@ -883,7 +883,10 @@ rep AS (
             AS g
         FROM toks) WHERE len(g) > 0)
 SELECT wide.*,
-       rep.n_ngrams, rep.n_distinct, rep.dup_ngrams, rep.repetitive
+       coalesce(rep.n_ngrams, 0) AS n_ngrams,
+       coalesce(rep.n_distinct, 0) AS n_distinct,
+       coalesce(rep.dup_ngrams, 0) AS dup_ngrams,
+       coalesce(rep.repetitive, false) AS repetitive
 FROM wide LEFT JOIN rep USING (doc_id)
 """)
 def _text_gopher_rules(spark, sf_dir):
@@ -893,12 +896,24 @@ def _text_gopher_rules(spark, sf_dir):
     cross-mult gates, no shuffle, no Python — plus the duplicate-
     bigram repetition stats (boilerplate/spam gate; formerly the
     text_repetition query, folded for the roster cap) left-joined per
-    doc (NULL for docs with < 2 tokens, matching repetition_stats'
-    domain)."""
+    doc. Docs with < 2 tokens (outside repetition_stats' domain)
+    coalesce to zero counts / not-repetitive — never NULL booleans,
+    which hash-mismatch across engines (Spark 'NULL' vs DuckDB
+    'NaN')."""
     docs = _t(spark, sf_dir, "documents")
     rep = ts.repetition_stats(docs).select(
         "doc_id", "n_ngrams", "n_distinct", "dup_ngrams", "repetitive")
-    return ts.gopher_rules(docs).join(rep, "doc_id", "left")
+    out = ts.gopher_rules(docs).join(rep, "doc_id", "left")
+    return out.select(
+        *[c for c in out.columns
+          if c not in ("n_ngrams", "n_distinct", "dup_ngrams",
+                       "repetitive")],
+        F.coalesce("n_ngrams", F.lit(0).cast("long")).alias("n_ngrams"),
+        F.coalesce("n_distinct",
+                   F.lit(0).cast("long")).alias("n_distinct"),
+        F.coalesce("dup_ngrams",
+                   F.lit(0).cast("long")).alias("dup_ngrams"),
+        F.coalesce("repetitive", F.lit(False)).alias("repetitive"))
 
 
 @_q("recrawl_schedule", """

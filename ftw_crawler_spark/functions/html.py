@@ -28,6 +28,7 @@ from __future__ import annotations
 import re
 from html import unescape as _unescape
 from html.parser import HTMLParser
+from urllib.parse import urljoin, urlsplit, urlunsplit
 
 # The fast tokenizer (_fast_feed) reuses html.parser's PRIVATE compiled
 # regexes so its tokenization is call-identical to the stdlib where it
@@ -521,7 +522,6 @@ def doc_outlinks(doc: Node | None, base_url: str | None) -> list:
     pure-fragment hrefs are dropped; fragments are stripped."""
     if doc is None or base_url is None:
         return []
-    from urllib.parse import urljoin, urlsplit, urlunsplit
     by_tag = getattr(doc, "by_tag", None)
     if by_tag is None:
         return []

@@ -163,8 +163,13 @@ def candidates_from_links(links: DataFrame, known: DataFrame,
     if drop_traps:
         cand = cand.filter(~url_trap_cols(F.col("loc"))["trap"])
     if scope_hosts is not None:
+        # HOSTNAME (no port), matching the derivation every other host
+        # column in the pipeline uses (sitemap rows, host_state,
+        # _annotate_discovered all key on lower(parse_url HOST)) — a
+        # port-suffixed key here would silently zero out discovery for
+        # sites configured with an explicit port
         hcol = scope_hosts.columns[0]
-        host = F.regexp_extract(F.col("loc"), r"^[a-z+.-]+://([^/?]*)", 1)
+        host = F.lower(F.parse_url(F.col("loc"), F.lit("HOST")))
         cand = (cand.withColumn("__host", host)
                 .join(F.broadcast(scope_hosts.select(
                     F.lower(F.col(hcol)).alias("__host"))), "__host",

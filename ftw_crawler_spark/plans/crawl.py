@@ -297,7 +297,8 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
     the delta checkpoints (the frontier GROWS between fulls), so resume
     replays them exactly. Purge membership stays sitemap-only
     (reference semantics): a later run purges link-discovered docs
-    unless they joined a sitemap."""
+    unless they joined a sitemap. Single-URL mode (``url=``) disables
+    discovery — F1/F2 semantics pin the run to exactly that URL."""
     sites = sites if sites is not None else default_sites()
     config = config or cfg.default_config()
     # background writers (checkpoint / purge / schedule-prefetch): kept
@@ -316,6 +317,10 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
         # F1: single-URL mode skips non-matching sites (main.py:76-78)
         if url:
             sites = [s for s in sites if url.startswith(s.url)]
+            # F1/F2 pin the run to exactly this URL — link discovery
+            # would silently widen it into a site crawl, so single-URL
+            # mode disables follow-links (documented in the docstring)
+            follow_links = False
 
         committed = _committed_batches(ckpt_root)
         resuming = resume and bool(committed)
@@ -333,15 +338,51 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
             start_batch = last + 1
             ckpt_writer = None
             if follow_links:
-                # enqueued-set reconstruction: remaining ∪ indexed urls
-                # is a conservative under-approximation (skipped urls
-                # aren't checkpointed) — a re-discovered skipped url
-                # just re-annotates to the same skip, never re-crawls,
-                # so the schedule sequence is unchanged
-                enqueued = (remaining.select("loc")
-                            .unionByName(sink.current().select(
-                                F.col("url").alias("loc")))
-                            .distinct().localCheckpoint(eager=True))
+                # enqueued-set reconstruction, exact: the enqueued0
+                # parquet carries every annotated frontier loc
+                # (INCLUDING skipped — a re-discovered row annotates
+                # without its sitemap lastmod, so a not_modified skip
+                # would come back crawlable if dropped here), fulls
+                # after -1 carry rows (incl. discovered) still pending
+                # at their batch, and every delta carries the rows
+                # DISCOVERED at its batch — so every enqueued url is
+                # on disk regardless of when it was crawled.
+                # Discovered-but-skipped candidates are the only
+                # under-approximation: they re-annotate exactly as on
+                # first discovery (no sitemap context either time) →
+                # the same skip, never a crawl. sink.current() must
+                # NOT be used here: it over-approximates —
+                # failed-site docs survive the purge without ever
+                # being enqueued, and seeding them would DROP
+                # candidates an uninterrupted run crawls.
+                fulls = [b for b in committed
+                         if _ckpt_kind(ckpt_root, b) == "full"
+                         and b >= 0]
+                enq0 = os.path.join(ckpt_root, "enqueued0")
+                enqueued = (spark.read.parquet(enq0)
+                            if os.path.isdir(enq0) else
+                            _read_ckpt(spark, ckpt_root, -1)[0]
+                            .select("loc"))
+                for b in fulls:
+                    enqueued = enqueued.unionByName(
+                        _read_ckpt(spark, ckpt_root, b)[0]
+                        .select("loc"))
+                delta_states = [
+                    os.path.join(ckpt_root, f"batch={b}", "state")
+                    for b in committed
+                    if _ckpt_kind(ckpt_root, b) == "delta"]
+                delta_states = [p for p in delta_states
+                                if os.path.isdir(p)]
+                if delta_states:
+                    st = (spark.read.option("mergeSchema", "true")
+                          .parquet(*delta_states))
+                    if "loc" in st.columns:
+                        enqueued = enqueued.unionByName(
+                            st.filter(F.col("crawl_seq").isNotNull()
+                                      & F.col("loc").isNotNull())
+                            .select("loc"))
+                enqueued = (enqueued.distinct()
+                            .localCheckpoint(eager=True))
                 n_enqueued = enqueued.count()
         else:
             crawl_time = crawl_time or DEFAULT_CRAWL_TIME
@@ -417,11 +458,20 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                      .withColumnRenamed("count", "n").collect()}
             if follow_links:
                 # every frontier loc ever enqueued (INCLUDING skipped —
-                # a skipped url must not be re-queued by discovery);
-                # cheap: the annotated cache is warm from the scan above
+                # a skipped url must not be re-queued by discovery: a
+                # re-discovered row annotates WITHOUT its sitemap
+                # lastmod, so e.g. a not_modified skip would come back
+                # crawlable and the resumed run would diverge);
+                # cheap: the annotated cache is warm from the scan
+                # above. Persisted once (O(frontier) locs, the same
+                # class as the batch=-1 full snapshot) so resume can
+                # reconstruct the set exactly — skipped locs live
+                # nowhere else on disk.
                 enqueued = annotated.select("loc").localCheckpoint(
                     eager=True)
                 n_enqueued = enqueued.count()
+                enqueued.write.mode("overwrite").parquet(
+                    os.path.join(ckpt_root, "enqueued0"))
             metrics.append({"batch": -1, "event": "plan",
                             "skips": skips,
                             "sec_frontier_purge":
@@ -471,10 +521,15 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
 
             # host → site dim for scoping + site_id assignment of
             # discovered urls (two sites on one host: min site_id wins,
-            # deterministically)
+            # deterministically). Keyed on the HOSTNAME (no port) so it
+            # joins the same lower(parse_url HOST) derivation sitemap
+            # rows, host_state and _annotate_discovered use — the
+            # pipeline's politeness model treats all ports of a host as
+            # one host (reference semantics)
+            from urllib.parse import urlsplit
             host_site: dict[str, int] = {}
             for s in sites:
-                h = s.url.split("://", 1)[-1].split("/", 1)[0].lower()
+                h = (urlsplit(s.url).hostname or "").lower()
                 host_site[h] = min(host_site.get(h, s.site_id),
                                    s.site_id)
             host_dim = spark.createDataFrame(
@@ -484,6 +539,16 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
             # mid-run compaction, and reference semantics pin
             # is_modified to the pre-run snapshot anyway
             n_index0 = _parquet_rows(f"{world_dir}/index0.parquet")
+
+            # lazy-union segments added to `enq` since its last eager
+            # compaction: one checkpointed batch-sized block per
+            # discovering batch, compacted every ckpt_full_every
+            # batches — per-batch work stays O(batch), not O(frontier)
+            # (the same cadence the main loop uses for `remaining`).
+            # Safe as plain mutable state: exactly one
+            # _discover_schedule runs at a time (joined before the
+            # next launches).
+            enq_segments = [0]
 
             def _discover_schedule(rem, hs, links, enq, n_enq):
                 """Link discovery over the just-extracted batch's
@@ -505,15 +570,21 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                                        F.lit(1))).alias("ok")).collect()
                     n_new, n_disc = counts[0]["n"], counts[0]["ok"]
                     if n_new:
-                        enq = enq.unionByName(
-                            ann.select("loc")).localCheckpoint(
-                                eager=True)
+                        # lazy union of two checkpointed relations — no
+                        # frontier-sized copy per batch; periodic eager
+                        # compaction bounds the union fan-in
+                        enq = enq.unionByName(ann.select("loc"))
+                        enq_segments[0] += 1
+                        if enq_segments[0] >= ckpt_full_every:
+                            enq = enq.localCheckpoint(eager=True)
+                            enq_segments[0] = 0
                     if n_disc:
                         disc = (ann.filter(F.col("skip_reason").isNull())
                                 .select(*rem.columns)
                                 .localCheckpoint(eager=True))
-                        rem = rem.unionByName(disc).localCheckpoint(
-                            eager=True)
+                        # lazy: disc is checkpointed; the main loop's
+                        # full-checkpoint cadence compacts `remaining`
+                        rem = rem.unionByName(disc)
                 b, ph = _schedule(rem, hs)
                 return b, ph, rem, enq, n_enq + n_new, disc, n_disc
 
@@ -716,6 +787,15 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
 
         if ckpt_writer is not None:
             ckpt_writer.join()
+        # the final batch's discovery event is appended by
+        # _flush_deferred AFTER that batch's meta write — persist the
+        # final metrics list so run_meta.json matches
+        # CrawlResult.metrics and a later resume doesn't drop it
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        meta["metrics"] = metrics
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh)
         return CrawlResult(out_dir=out_dir, batches=batch_id,
                            metrics=metrics, sink=sink)
     except BaseException:

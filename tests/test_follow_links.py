@@ -114,6 +114,65 @@ def test_follow_links_resume_safe(spark, linked_world, follow_run,
     assert a == b
 
 
+def test_follow_links_resume_safe_all_fulls(spark, linked_world,
+                                            follow_run,
+                                            tmp_path_factory):
+    """Same interrupt/resume equality with ckpt_full_every=1: every
+    checkpoint is a FULL snapshot, so no delta ever carries discovered
+    rows — the resume-time enqueued-set reconstruction must recover
+    them from the fulls' frontiers instead (each discovered row is
+    pending in the full written at its discovery batch)."""
+    out = str(tmp_path_factory.mktemp("followresumefull"))
+    run_crawl(spark, linked_world, out, crawl_time=CRAWL_TIME,
+              batch_seconds=1.0, order_mode="priority",
+              follow_links=True, max_batches=2, ckpt_full_every=1)
+    resumed = run_crawl(spark, linked_world, out, crawl_time=CRAWL_TIME,
+                        batch_seconds=1.0, order_mode="priority",
+                        follow_links=True, resume=True,
+                        ckpt_full_every=1)
+    a = {(r["url"], r["batch_id"], r["op_seq"])
+         for r in _index_rows(follow_run)}
+    b = {(r["url"], r["batch_id"], r["op_seq"])
+         for r in _index_rows(resumed)}
+    assert a == b
+
+
+def test_single_url_mode_disables_discovery(spark, linked_world,
+                                            tmp_path_factory):
+    """F1/F2 pin a single-URL run to exactly that URL: follow_links
+    composed with url= must not widen the crawl — no hidden page is
+    crawled and no discovery event is emitted."""
+    url = f"{default_sites()[0].url}page/3/doc-3"
+    out = str(tmp_path_factory.mktemp("singleurlfollow"))
+    r = run_crawl(spark, linked_world, out, crawl_time=CRAWL_TIME,
+                  batch_seconds=5.0, url=url, follow_links=True)
+    urls = {x["url"] for x in r.index().select("url").collect()}
+    assert not (urls & _hidden_urls())
+    assert not [m for m in r.metrics if m.get("event") == "discovery"]
+
+
+def test_scope_filter_keys_on_hostname(spark):
+    """A candidate on a non-default port of a configured host stays in
+    scope: every host column in the pipeline (sitemap rows, host_state,
+    discovered-row annotation) is the PORTLESS lower(parse_url HOST),
+    so the discovery scope filter must key the same way — a
+    port-suffixed key would silently zero out discovery for sites
+    configured with an explicit port."""
+    from ftw_crawler_spark.operators.linkgraph import (
+        candidates_from_links)
+    links = spark.createDataFrame(
+        [("http://h.example.org/", "http://h.example.org:8080/x"),
+         ("http://h.example.org/", "http://other.example.net/y")],
+        "src_url string, dst_url string")
+    known = spark.createDataFrame([("http://h.example.org/",)],
+                                  "loc string")
+    hosts = spark.createDataFrame([("h.example.org",)], "host string")
+    out = candidates_from_links(links, known, known_url_col="loc",
+                                scope_hosts=hosts)
+    assert ({r["loc"] for r in out.collect()}
+            == {"http://h.example.org:8080/x"})
+
+
 def test_default_mode_ignores_links(spark, linked_world,
                                     tmp_path_factory):
     """follow_links=False on the SAME linked world: anchors are inert —
