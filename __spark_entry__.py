@@ -895,25 +895,22 @@ def _text_gopher_rules(spark, sf_dir):
     alpha-word / stop-word rules as ONE codegen projection — integer
     cross-mult gates, no shuffle, no Python — plus the duplicate-
     bigram repetition stats (boilerplate/spam gate; formerly the
-    text_repetition query, folded for the roster cap) left-joined per
-    doc. Docs with < 2 tokens (outside repetition_stats' domain)
-    coalesce to zero counts / not-repetitive — never NULL booleans,
-    which hash-mismatch across engines (Spark 'NULL' vs DuckDB
-    'NaN')."""
+    text_repetition query, folded for the roster cap). Both column
+    families come from the operators' own shared Column builders
+    (ts._gopher_cols / ts._repetition_cols — the exact expressions
+    gopher_rules and repetition_stats select), composed in ONE
+    projection so the combined report keeps the zero-exchange plan.
+    Docs with < 2 tokens (outside repetition_stats' filtered domain)
+    naturally yield zero counts / not-repetitive — never NULL
+    booleans, which hash-mismatch across engines (Spark 'NULL' vs
+    DuckDB 'NaN')."""
     docs = _t(spark, sf_dir, "documents")
-    rep = ts.repetition_stats(docs).select(
-        "doc_id", "n_ngrams", "n_distinct", "dup_ngrams", "repetitive")
-    out = ts.gopher_rules(docs).join(rep, "doc_id", "left")
-    return out.select(
-        *[c for c in out.columns
-          if c not in ("n_ngrams", "n_distinct", "dup_ngrams",
-                       "repetitive")],
-        F.coalesce("n_ngrams", F.lit(0).cast("long")).alias("n_ngrams"),
-        F.coalesce("n_distinct",
-                   F.lit(0).cast("long")).alias("n_distinct"),
-        F.coalesce("dup_ngrams",
-                   F.lit(0).cast("long")).alias("dup_ngrams"),
-        F.coalesce("repetitive", F.lit(False)).alias("repetitive"))
+    g = ts._gopher_cols("text")
+    r = ts._repetition_cols("text")
+    return docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in g.items()],
+        *[c.alias(n) for n, c in r.items()])
 
 
 @_q("recrawl_schedule", """

@@ -111,6 +111,22 @@ def token_counts(docs: DataFrame, text_col: str = "text",
                        n_bpe.cast("long").alias("n_bpe_tokens"))
 
 
+def _repetition_cols(text_col: str, w: int = 2,
+                     max_dup_pct: int = 20) -> dict:
+    """The duplicate-w-gram counters + gate as named Columns — shared
+    by :func:`repetition_stats` and the text_gopher_rules query (which
+    composes them with the Gopher columns in ONE projection so the
+    combined report keeps a zero-exchange plan)."""
+    sh = shingles_col(tokens_col(text_col), w)
+    n = F.size(sh)
+    n_distinct = F.size(F.array_distinct(sh))
+    dup = n - n_distinct
+    return {"n_ngrams": n.cast("long"),
+            "n_distinct": n_distinct.cast("long"),
+            "dup_ngrams": dup.cast("long"),
+            "repetitive": dup * 100 > F.lit(max_dup_pct) * n}
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", w: int = 2,
                      max_dup_pct: int = 20) -> DataFrame:
@@ -120,16 +136,10 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     stuffing, template farms). Integer cross-mult gate (dup·100 >
     max_pct·total) — no float, bit-reproducible in SQL; per-row
     projection, no shuffle."""
-    sh = shingles_col(tokens_col(text_col), w)
-    n = F.size(sh)
-    n_distinct = F.size(F.array_distinct(sh))
-    dup = n - n_distinct
+    cols = _repetition_cols(text_col, w, max_dup_pct)
     return (docs.select(
         F.col(id_col),
-        n.cast("long").alias("n_ngrams"),
-        n_distinct.cast("long").alias("n_distinct"),
-        dup.cast("long").alias("dup_ngrams"),
-        (dup * 100 > F.lit(max_dup_pct) * n).alias("repetitive"))
+        *[c.alias(name) for name, c in cols.items()])
         .filter(F.col("n_ngrams") > 0))
 
 
