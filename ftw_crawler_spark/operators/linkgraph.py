@@ -145,7 +145,8 @@ def candidates_from_links(links: DataFrame, known: DataFrame,
                           known_url_col: str = "url",
                           scope_hosts: DataFrame | None = None,
                           drop_traps: bool = False,
-                          expected_known: int | None = None) -> DataFrame:
+                          expected_known: int | None = None,
+                          known_bloom=None) -> DataFrame:
     """``discover_frontier`` minus the parse: (src_url, dst_url) link
     rows → (loc, n_refs) new candidates. This is the entry point the
     crawl loop uses — its outlinks come out of the extraction engine's
@@ -156,7 +157,20 @@ def candidates_from_links(links: DataFrame, known: DataFrame,
     (functions/urls.url_trap_cols — loop/depth/parameter-explosion
     signals) on the CANONICAL form before the seen split, so trap URLs
     never reach the membership probe, the frontier, or the politeness
-    budget."""
+    budget.
+
+    ``known_bloom``: a caller-maintained INCREMENTAL bloom over the
+    canonical known set — serialized bytes (the broadcast form) or a
+    ``(shards_relation, shape)`` pair (the 10^10-URL relation form,
+    seen.build_url_bloom_relation). When given, the per-call bloom
+    build over the whole known relation is skipped entirely: the
+    caller adds each batch's new urls with an O(batch) delta build +
+    O(shards) merge (seen.merge_blooms / merge_bloom_relations)
+    instead of rescanning the frontier-sized known set every batch.
+    The filter MUST contain every known url (no-false-negative
+    contract — a miss would re-enqueue a seen url); the exact
+    anti-join backstop below keeps results bit-identical either way,
+    even if the filter oversaturates past its sizing."""
     cand = (links
             .select(canonical_url_col(F.col("dst_url")).alias("loc"))
             .groupBy("loc").agg(F.count(F.lit(1)).alias("n_refs")))
@@ -179,8 +193,16 @@ def candidates_from_links(links: DataFrame, known: DataFrame,
                   .select(canonical_url_col(F.col(known_url_col))
                           .alias("url"))
                   .distinct())
-    new, maybe = seen.split_by_index(cand, known_urls, "loc", "url",
-                                     expected_items=expected_known)
+    if known_bloom is None:
+        new, maybe = seen.split_by_index(cand, known_urls, "loc", "url",
+                                         expected_items=expected_known)
+    elif isinstance(known_bloom, (bytes, bytearray)):
+        new, maybe = seen.split_by_bloom(cand, bytes(known_bloom),
+                                         "loc")
+    else:
+        rel, shape = known_bloom
+        new, maybe = seen.split_by_bloom_relation(cand, rel, shape,
+                                                  "loc")
     confirmed = maybe.join(
         known_urls.select(F.col("url").alias("loc")), "loc", "left_anti")
     return new.unionByName(confirmed)

@@ -540,6 +540,58 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
             # is_modified to the pre-run snapshot anyway
             n_index0 = _parquet_rows(f"{world_dir}/index0.parquet")
 
+            # INCREMENTAL enqueued-set bloom: geometry pinned once
+            # (sized 4× the initial frontier — a production run budgets
+            # its expected discovery volume here), built over the
+            # canonical enqueued set once, then grown per batch with an
+            # O(batch) delta build + O(shards) OR-merge instead of
+            # rescanning the frontier-sized set every batch. If the
+            # set outgrows the sizing the fpp degrades but results stay
+            # exact — the anti-join backstop in candidates_from_links
+            # verifies every bloom-positive candidate, and the filter
+            # contains every enqueued url by construction (no false
+            # negatives). Serving form picked by size: driver bytes
+            # below BROADCAST_MAX_BYTES, else the (shard, bits)
+            # relation end-to-end (the 10^10-URL path).
+            from ftw_crawler_spark.functions.urls import (
+                canonical_url_col)
+            from ftw_crawler_spark.operators import seen as seenmod
+
+            def _canon_urls(df):
+                return df.select(
+                    canonical_url_col(F.col("loc")).alias("url"))
+
+            bloom_shape = seenmod._resolve_shape(
+                None, expected_items=max(4 * n_enqueued, 1024),
+                fpp=0.03, shape=None, n_shards=None)
+            if (bloom_shape[0] // 8 * bloom_shape[2]
+                    <= seenmod.BROADCAST_MAX_BYTES):
+                bloom_state = ["bytes", seenmod.build_url_bloom(
+                    _canon_urls(enqueued), "url", shape=bloom_shape)]
+            else:
+                rel0, _ = seenmod.build_url_bloom_relation(
+                    _canon_urls(enqueued), "url", shape=bloom_shape)
+                bloom_state = ["rel", rel0.localCheckpoint(eager=True)]
+
+            def _bloom():
+                return (bloom_state[1] if bloom_state[0] == "bytes"
+                        else (bloom_state[1], bloom_shape))
+
+            def _bloom_add(locs_df):
+                # called only from the prefetch thread; exactly one
+                # _discover_schedule is in flight at a time
+                if bloom_state[0] == "bytes":
+                    delta = seenmod.build_url_bloom(
+                        _canon_urls(locs_df), "url", shape=bloom_shape)
+                    bloom_state[1] = seenmod.merge_blooms(
+                        bloom_state[1], delta)
+                else:
+                    delta, _ = seenmod.build_url_bloom_relation(
+                        _canon_urls(locs_df), "url", shape=bloom_shape)
+                    bloom_state[1] = seenmod.merge_bloom_relations(
+                        bloom_state[1], delta).localCheckpoint(
+                            eager=True)
+
             # lazy-union segments added to `enq` since its last eager
             # compaction: one checkpointed batch-sized block per
             # discovering batch, compacted every ckpt_full_every
@@ -560,7 +612,8 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                     cand = candidates_from_links(
                         links, enq, known_url_col="loc",
                         scope_hosts=host_dim.select("host"),
-                        drop_traps=True, expected_known=n_enq)
+                        drop_traps=True, expected_known=n_enq,
+                        known_bloom=_bloom())
                     ann = _annotate_discovered(
                         cand, world, sdf, host_dim, force,
                         n_index0).localCheckpoint(eager=True)
@@ -578,6 +631,8 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                         if enq_segments[0] >= ckpt_full_every:
                             enq = enq.localCheckpoint(eager=True)
                             enq_segments[0] = 0
+                        # O(batch) delta into the incremental filter
+                        _bloom_add(ann)
                     if n_disc:
                         disc = (ann.filter(F.col("skip_reason").isNull())
                                 .select(*rem.columns)

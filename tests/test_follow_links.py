@@ -173,6 +173,29 @@ def test_scope_filter_keys_on_hostname(spark):
             == {"http://h.example.org:8080/x"})
 
 
+def test_follow_links_relation_bloom_identical(spark, linked_world,
+                                               follow_run,
+                                               tmp_path_factory,
+                                               monkeypatch):
+    """Force the incremental enqueued-set filter onto the relation
+    serving path (BROADCAST_MAX_BYTES=0 — the 10^10-URL form where the
+    filter never exists as one object on any node): the final index
+    must be bit-identical to the broadcast-bytes run. Both forms grow
+    by O(batch) delta builds + O(shards) merges; the exact anti-join
+    backstop makes the split loss-free by construction."""
+    from ftw_crawler_spark.operators import seen
+    monkeypatch.setattr(seen, "BROADCAST_MAX_BYTES", 0)
+    out = str(tmp_path_factory.mktemp("followrelbloom"))
+    r = run_crawl(spark, linked_world, out, crawl_time=CRAWL_TIME,
+                  batch_seconds=1.0, order_mode="priority",
+                  follow_links=True)
+    a = {(x["url"], x["batch_id"], x["op_seq"])
+         for x in _index_rows(follow_run)}
+    b = {(x["url"], x["batch_id"], x["op_seq"])
+         for x in _index_rows(r)}
+    assert a == b
+
+
 def test_default_mode_ignores_links(spark, linked_world,
                                     tmp_path_factory):
     """follow_links=False on the SAME linked world: anchors are inert —
