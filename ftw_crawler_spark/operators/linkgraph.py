@@ -159,18 +159,18 @@ def candidates_from_links(links: DataFrame, known: DataFrame,
     never reach the membership probe, the frontier, or the politeness
     budget.
 
-    ``known_bloom``: a caller-maintained INCREMENTAL bloom over the
-    canonical known set — serialized bytes (the broadcast form) or a
-    ``(shards_relation, shape)`` pair (the 10^10-URL relation form,
-    seen.build_url_bloom_relation). When given, the per-call bloom
-    build over the whole known relation is skipped entirely: the
-    caller adds each batch's new urls with an O(batch) delta build +
-    O(shards) merge (seen.merge_blooms / merge_bloom_relations)
-    instead of rescanning the frontier-sized known set every batch.
-    The filter MUST contain every known url (no-false-negative
-    contract — a miss would re-enqueue a seen url); the exact
-    anti-join backstop below keeps results bit-identical either way,
-    even if the filter oversaturates past its sizing."""
+    ``known_bloom``: a caller-maintained INCREMENTAL filter over the
+    canonical known set — a ``seen.IncrementalUrlFilter`` (the crawl
+    loop's form: build-once + O(batch) ``add`` deltas, serving form
+    picked internally), or the raw serialized bytes / a
+    ``(shards_relation, shape)`` pair for callers holding one of the
+    primitive forms. When given, the per-call bloom build over the
+    whole known relation is skipped entirely, and ``expected_known``
+    is unused (sizing was pinned when the filter was built). The
+    filter MUST contain every known url (no-false-negative contract —
+    a miss would re-enqueue a seen url); the exact anti-join backstop
+    below keeps results bit-identical either way, even if the filter
+    oversaturates past its sizing."""
     cand = (links
             .select(canonical_url_col(F.col("dst_url")).alias("loc"))
             .groupBy("loc").agg(F.count(F.lit(1)).alias("n_refs")))
@@ -189,13 +189,16 @@ def candidates_from_links(links: DataFrame, known: DataFrame,
                     F.lower(F.col(hcol)).alias("__host"))), "__host",
                     "left_semi")
                 .drop("__host"))
-    known_urls = (known
-                  .select(canonical_url_col(F.col(known_url_col))
-                          .alias("url"))
-                  .distinct())
+    # no distinct: both consumers are duplicate-insensitive (bloom
+    # bit-sets and the left_anti backstop), and a distinct here would
+    # re-shuffle the O(frontier) known set on every per-batch call
+    known_urls = known.select(
+        canonical_url_col(F.col(known_url_col)).alias("url"))
     if known_bloom is None:
         new, maybe = seen.split_by_index(cand, known_urls, "loc", "url",
                                          expected_items=expected_known)
+    elif isinstance(known_bloom, seen.IncrementalUrlFilter):
+        new, maybe = known_bloom.split(cand, "loc")
     elif isinstance(known_bloom, (bytes, bytearray)):
         new, maybe = seen.split_by_bloom(cand, bytes(known_bloom),
                                          "loc")

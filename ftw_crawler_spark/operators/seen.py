@@ -358,6 +358,75 @@ def split_by_index(frontier: DataFrame, indexed: DataFrame,
     return split_by_bloom_relation(frontier, rel, shape, probe_col)
 
 
+class IncrementalUrlFilter:
+    """Caller-maintained incremental seen filter: build ONCE over the
+    initial url relation, grow with O(batch) deltas, serve in the
+    size-appropriate form — all three decisions owned here so callers
+    (plans/crawl.py link discovery, streaming/frontier_stream.py) never
+    re-state the geometry/dispatch rules.
+
+    Geometry is pinned at construction (``expected_items`` budgets the
+    url volume the filter will ever hold — a production run sizes this
+    from its expected discovery volume). If the set outgrows the sizing
+    the fpp degrades but membership stays a PRE-filter: no false
+    negatives by construction (every added url sets its bits), so the
+    exact-join backstop downstream keeps results bit-identical.
+
+    Serving form is picked from the pinned geometry's payload size:
+    driver bytes below ``BROADCAST_MAX_BYTES`` (broadcast probe), else
+    the (shard, bits) relation end-to-end — build, delta-merge and
+    cogrouped probe all stay O(shard) per task and the filter never
+    exists as one object on any node (the 10^10-URL path).
+
+    Thread-safety: mutable state, single-writer by contract (the crawl
+    plan calls ``add`` only from its one-in-flight prefetch thread)."""
+
+    def __init__(self, df: DataFrame, url_col: str = "url",
+                 expected_items: int | None = None, fpp: float = 0.03,
+                 shape: tuple | None = None,
+                 n_shards: int | None = None):
+        self.shape = _resolve_shape(df, expected_items, fpp, shape,
+                                    n_shards)
+        n_bits, _, n_shards_ = self.shape
+        self._broadcastable = (n_bits // 8 * n_shards_
+                               <= BROADCAST_MAX_BYTES)
+        if self._broadcastable:
+            self._bytes = build_url_bloom(df, url_col, shape=self.shape)
+            self._rel = None
+        else:
+            rel, _ = build_url_bloom_relation(df, url_col,
+                                              shape=self.shape)
+            self._rel = rel.localCheckpoint(eager=True)
+            self._bytes = None
+
+    def add(self, df: DataFrame, url_col: str = "url") -> None:
+        """OR-merge one batch's urls into the filter: O(batch) delta
+        build + O(shards) merge — never a rescan of the full set."""
+        if self._broadcastable:
+            delta = build_url_bloom(df, url_col, shape=self.shape)
+            self._bytes = merge_blooms(self._bytes, delta)
+        else:
+            delta, _ = build_url_bloom_relation(df, url_col,
+                                                shape=self.shape)
+            self._rel = merge_bloom_relations(
+                self._rel, delta).localCheckpoint(eager=True)
+
+    def serve(self):
+        """The filter in its serving form: serialized bytes, a
+        ``(shards_relation, shape)`` pair, or None (nothing added yet —
+        callers treat every probe as a candidate)."""
+        return (self._bytes if self._broadcastable
+                else (self._rel, self.shape))
+
+    def split(self, frontier: DataFrame, url_col: str = "loc"):
+        """(definitely_new, candidates) against the current state."""
+        served = self.serve()
+        if self._broadcastable:
+            return split_by_bloom(frontier, served, url_col)
+        return split_by_bloom_relation(frontier, served[0], served[1],
+                                       url_col)
+
+
 def split_by_bloom(frontier: DataFrame, bloom_bytes: bytes | None,
                    url_col: str = "loc", mode: str = "auto"):
     """(definitely_new, candidates) — definitely_new rows skip the exact

@@ -540,19 +540,17 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
             # is_modified to the pre-run snapshot anyway
             n_index0 = _parquet_rows(f"{world_dir}/index0.parquet")
 
-            # INCREMENTAL enqueued-set bloom: geometry pinned once
+            # INCREMENTAL enqueued-set filter: geometry pinned once
             # (sized 4× the initial frontier — a production run budgets
             # its expected discovery volume here), built over the
             # canonical enqueued set once, then grown per batch with an
-            # O(batch) delta build + O(shards) OR-merge instead of
-            # rescanning the frontier-sized set every batch. If the
-            # set outgrows the sizing the fpp degrades but results stay
-            # exact — the anti-join backstop in candidates_from_links
-            # verifies every bloom-positive candidate, and the filter
-            # contains every enqueued url by construction (no false
-            # negatives). Serving form picked by size: driver bytes
-            # below BROADCAST_MAX_BYTES, else the (shard, bits)
-            # relation end-to-end (the 10^10-URL path).
+            # O(batch) delta — never a rescan of the frontier-sized
+            # set. Sizing overflow stays exact (anti-join backstop in
+            # candidates_from_links), serving form is picked inside the
+            # helper (driver bytes vs the sharded relation where the
+            # filter never exists whole). `add` runs only on the
+            # prefetch thread — exactly one _discover_schedule is in
+            # flight at a time, satisfying the single-writer contract.
             from ftw_crawler_spark.functions.urls import (
                 canonical_url_col)
             from ftw_crawler_spark.operators import seen as seenmod
@@ -561,36 +559,9 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                 return df.select(
                     canonical_url_col(F.col("loc")).alias("url"))
 
-            bloom_shape = seenmod._resolve_shape(
-                None, expected_items=max(4 * n_enqueued, 1024),
-                fpp=0.03, shape=None, n_shards=None)
-            if (bloom_shape[0] // 8 * bloom_shape[2]
-                    <= seenmod.BROADCAST_MAX_BYTES):
-                bloom_state = ["bytes", seenmod.build_url_bloom(
-                    _canon_urls(enqueued), "url", shape=bloom_shape)]
-            else:
-                rel0, _ = seenmod.build_url_bloom_relation(
-                    _canon_urls(enqueued), "url", shape=bloom_shape)
-                bloom_state = ["rel", rel0.localCheckpoint(eager=True)]
-
-            def _bloom():
-                return (bloom_state[1] if bloom_state[0] == "bytes"
-                        else (bloom_state[1], bloom_shape))
-
-            def _bloom_add(locs_df):
-                # called only from the prefetch thread; exactly one
-                # _discover_schedule is in flight at a time
-                if bloom_state[0] == "bytes":
-                    delta = seenmod.build_url_bloom(
-                        _canon_urls(locs_df), "url", shape=bloom_shape)
-                    bloom_state[1] = seenmod.merge_blooms(
-                        bloom_state[1], delta)
-                else:
-                    delta, _ = seenmod.build_url_bloom_relation(
-                        _canon_urls(locs_df), "url", shape=bloom_shape)
-                    bloom_state[1] = seenmod.merge_bloom_relations(
-                        bloom_state[1], delta).localCheckpoint(
-                            eager=True)
+            url_filter = seenmod.IncrementalUrlFilter(
+                _canon_urls(enqueued), "url",
+                expected_items=max(4 * n_enqueued, 1024), fpp=0.03)
 
             # lazy-union segments added to `enq` since its last eager
             # compaction: one checkpointed batch-sized block per
@@ -612,8 +583,7 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                     cand = candidates_from_links(
                         links, enq, known_url_col="loc",
                         scope_hosts=host_dim.select("host"),
-                        drop_traps=True, expected_known=n_enq,
-                        known_bloom=_bloom())
+                        drop_traps=True, known_bloom=url_filter)
                     ann = _annotate_discovered(
                         cand, world, sdf, host_dim, force,
                         n_index0).localCheckpoint(eager=True)
@@ -632,7 +602,7 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                             enq = enq.localCheckpoint(eager=True)
                             enq_segments[0] = 0
                         # O(batch) delta into the incremental filter
-                        _bloom_add(ann)
+                        url_filter.add(_canon_urls(ann), "url")
                     if n_disc:
                         disc = (ann.filter(F.col("skip_reason").isNull())
                                 .select(*rem.columns)

@@ -66,7 +66,7 @@ class FrontierStream:
         self.ckpt = os.path.join(out_dir, "stream_checkpoint")
         self.pages = spark.read.parquet(f"{world_dir}/pages.parquet")
         self.rebuild_bloom_every = rebuild_bloom_every
-        self._bloom: bytes | None = None
+        self._filter: seen.IncrementalUrlFilter | None = None
         self._batches_since_rebuild = 0
         self.query = None
 
@@ -77,11 +77,17 @@ class FrontierStream:
         cur = self.sink.current()
         if cur is None:
             return batch
-        if (self._bloom is None
+        if (self._filter is None
                 or self._batches_since_rebuild >= self.rebuild_bloom_every):
-            self._bloom = seen.build_url_bloom(cur.select("url"), "url")
+            # periodic full rebuild re-sizes the geometry to the grown
+            # index and resets delta saturation; between rebuilds the
+            # filter grows by O(batch) adds (IncrementalUrlFilter owns
+            # build/merge/serving-form — same helper as the batch
+            # planner's link-discovery enqueued set)
+            self._filter = seen.IncrementalUrlFilter(
+                cur.select("url"), "url")
             self._batches_since_rebuild = 0
-        new, cand = seen.split_by_bloom(batch, self._bloom, "loc")
+        new, cand = self._filter.split(batch, "loc")
         verified = cand.join(
             cur.select(F.col("url").alias("loc")).distinct(),
             "loc", "left_anti")
@@ -135,16 +141,12 @@ class FrontierStream:
         if self.config.unique_field != "UID":
             docs = docs.withColumn("UID", F.col(self.config.unique_field))
         self.sink.append_upserts(docs, batch_id=f"stream_{batch_id:09d}")
-        # fold this batch's urls into the broadcast filter instead of a
-        # full rebuild (the long-running-stream path): the delta filter
-        # is built with the SAME geometry so OR-merge is exact
-        if self._bloom is not None:
-            delta = seen.build_url_bloom(
-                docs.select("url"), "url",
-                shape=seen.bloom_shape(self._bloom))
-            if delta is not None:
-                self._bloom = seen.merge_blooms(self._bloom, delta)
-                self._batches_since_rebuild += 1
+        # fold this batch's urls into the incremental filter instead of
+        # a full rebuild (the long-running-stream path): the delta is
+        # built with the filter's pinned geometry so the merge is exact
+        if self._filter is not None:
+            self._filter.add(docs.select("url"), "url")
+            self._batches_since_rebuild += 1
 
     # -- lifecycle -----------------------------------------------------------
 

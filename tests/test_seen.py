@@ -183,3 +183,34 @@ def test_auto_shard_count_scales_with_size(spark, urls):
     total_bits, _ = seen._params(10_000_000_000, 0.03)
     assert total_bits // max(1, total_bits // seen._SHARD_MAX_BITS) \
         == seen._SHARD_MAX_BITS
+
+
+def test_incremental_url_filter_both_forms(spark, urls, monkeypatch):
+    """IncrementalUrlFilter: build-once + O(batch) add, identical
+    splits in both serving forms (bytes vs sharded relation), and a
+    fresh url never false-negatives after add()."""
+    base = urls.filter(F.col("url").endswith("0"))
+    extra = urls.filter(~F.col("url").endswith("0"))
+    probe = urls.withColumnRenamed("url", "loc").unionByName(
+        spark.range(9000, 9400).select(
+            F.concat(F.lit("https://fresh.example/"),
+                     F.col("id").cast("string")).alias("loc")))
+
+    def run():
+        flt = seen.IncrementalUrlFilter(base, "url",
+                                        expected_items=4000)
+        flt.add(extra, "url")
+        new, cand = flt.split(probe, "loc")
+        return (sorted(r["loc"] for r in new.collect()),
+                sorted(r["loc"] for r in cand.collect()))
+
+    new_b, cand_b = run()
+    monkeypatch.setattr(seen, "BROADCAST_MAX_BYTES", 0)
+    new_r, cand_r = run()
+    # bit-identical across serving forms (same geometry, same hashes)
+    assert new_b == new_r and cand_b == cand_r
+    # no false negatives: every added url is a candidate
+    added = {r["url"] for r in urls.collect()}
+    assert added <= set(cand_b)
+    # the fresh urls land somewhere (new or fp-candidate), all 400
+    assert len(new_b) + len(cand_b) == 2400
