@@ -584,9 +584,14 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                         links, enq, known_url_col="loc",
                         scope_hosts=host_dim.select("host"),
                         drop_traps=True, known_bloom=url_filter)
+                    # lazy checkpoint: the counts agg right below is
+                    # the materializing action, so plan-run + checkpoint
+                    # + counts are ONE job instead of two (the unit is
+                    # a chain of latency-bound jobs — job count is the
+                    # cost at sandbox scale, BASELINE.md)
                     ann = _annotate_discovered(
                         cand, world, sdf, host_dim, force,
-                        n_index0).localCheckpoint(eager=True)
+                        n_index0).localCheckpoint(eager=False)
                     counts = ann.agg(
                         F.count(F.lit(1)).alias("n"),
                         F.count(F.when(F.col("skip_reason").isNull(),
@@ -604,11 +609,12 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                         # O(batch) delta into the incremental filter
                         url_filter.add(_canon_urls(ann), "url")
                     if n_disc:
-                        disc = (ann.filter(F.col("skip_reason").isNull())
-                                .select(*rem.columns)
-                                .localCheckpoint(eager=True))
-                        # lazy: disc is checkpointed; the main loop's
+                        # a plain filter over ann's checkpointed blocks
+                        # — no checkpoint of its own (that was a whole
+                        # extra job for n_disc rows); the main loop's
                         # full-checkpoint cadence compacts `remaining`
+                        disc = (ann.filter(F.col("skip_reason").isNull())
+                                .select(*rem.columns))
                         rem = rem.unionByName(disc)
                 b, ph = _schedule(rem, hs)
                 return b, ph, rem, enq, n_enq + n_new, disc, n_disc
