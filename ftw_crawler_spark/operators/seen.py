@@ -66,6 +66,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 _MAGIC = b"BLS2"
 _HEADER = struct.Struct("<QII")       # n_bits (per shard), k, n_shards
@@ -338,6 +339,16 @@ def split_by_bloom_relation(frontier: DataFrame, shards: DataFrame,
     return new, cand
 
 
+def _is_broadcastable(shape: tuple) -> bool:
+    """THE serving-form dispatch rule: filters whose total payload fits
+    under ``BROADCAST_MAX_BYTES`` ship as driver bytes (broadcast
+    probe); larger ones stay a (shard, bits) relation end-to-end. One
+    definition so split_by_index and IncrementalUrlFilter can never
+    pick different forms for the same geometry."""
+    n_bits, _, n_shards = shape
+    return n_bits // 8 * n_shards <= BROADCAST_MAX_BYTES
+
+
 def split_by_index(frontier: DataFrame, indexed: DataFrame,
                    probe_col: str = "loc", url_col: str = "url",
                    expected_items: int | None = None,
@@ -351,7 +362,7 @@ def split_by_index(frontier: DataFrame, indexed: DataFrame,
     callers verify candidates with the exact join (no false negatives
     by construction, false positives only cost the lookup)."""
     shape = _resolve_shape(indexed, expected_items, fpp, None, None)
-    if shape[0] // 8 * shape[2] <= BROADCAST_MAX_BYTES:
+    if _is_broadcastable(shape):
         bloom = build_url_bloom(indexed, url_col, shape=shape)
         return split_by_bloom(frontier, bloom, probe_col)
     rel, shape = build_url_bloom_relation(indexed, url_col, shape=shape)
@@ -378,18 +389,30 @@ class IncrementalUrlFilter:
     cogrouped probe all stay O(shard) per task and the filter never
     exists as one object on any node (the 10^10-URL path).
 
+    Relation-form block lifecycle: each ``add`` supersedes the previous
+    full-filter copy, and waiting for driver GC / ContextCleaner to
+    reclaim a superseded ~O(filter)-byte relation would stack stale
+    copies on a long-running stream. So inter-compaction copies are
+    ``persist()``ed (public API, released explicitly the moment the
+    successor is materialized) and every ``compact_every``-th add is a
+    ``localCheckpoint`` that truncates the persisted lineage chain —
+    at any instant the executors hold at most the live copy, one
+    in-flight successor, and one GC-pending checkpoint per compaction
+    window.
+
     Thread-safety: mutable state, single-writer by contract (the crawl
     plan calls ``add`` only from its one-in-flight prefetch thread)."""
 
     def __init__(self, df: DataFrame, url_col: str = "url",
                  expected_items: int | None = None, fpp: float = 0.03,
                  shape: tuple | None = None,
-                 n_shards: int | None = None):
+                 n_shards: int | None = None, compact_every: int = 8):
         self.shape = _resolve_shape(df, expected_items, fpp, shape,
                                     n_shards)
-        n_bits, _, n_shards_ = self.shape
-        self._broadcastable = (n_bits // 8 * n_shards_
-                               <= BROADCAST_MAX_BYTES)
+        self._broadcastable = _is_broadcastable(self.shape)
+        self._compact_every = max(1, compact_every)
+        self._adds_since_compact = 0
+        self._rel_persisted = False
         if self._broadcastable:
             self._bytes = build_url_bloom(df, url_col, shape=self.shape)
             self._rel = None
@@ -405,25 +428,33 @@ class IncrementalUrlFilter:
         if self._broadcastable:
             delta = build_url_bloom(df, url_col, shape=self.shape)
             self._bytes = merge_blooms(self._bytes, delta)
+            return
+        delta, _ = build_url_bloom_relation(df, url_col,
+                                            shape=self.shape)
+        merged = merge_bloom_relations(self._rel, delta)
+        self._adds_since_compact += 1
+        if self._adds_since_compact >= self._compact_every:
+            new_rel = merged.localCheckpoint(eager=True)
+            new_persisted = False
+            self._adds_since_compact = 0
         else:
-            delta, _ = build_url_bloom_relation(df, url_col,
-                                                shape=self.shape)
-            self._rel = merge_bloom_relations(
-                self._rel, delta).localCheckpoint(eager=True)
-
-    def serve(self):
-        """The filter in its serving form: serialized bytes, a
-        ``(shards_relation, shape)`` pair, or None (nothing added yet —
-        callers treat every probe as a candidate)."""
-        return (self._bytes if self._broadcastable
-                else (self._rel, self.shape))
+            new_rel = merged.persist(StorageLevel.MEMORY_AND_DISK)
+            new_rel.count()          # materialize BEFORE releasing old
+            new_persisted = True
+        old, old_persisted = self._rel, self._rel_persisted
+        self._rel, self._rel_persisted = new_rel, new_persisted
+        if old_persisted:
+            # explicit release — the successor's blocks are already
+            # materialized, so nothing recomputes through this copy
+            # (and if an executor ever lost a successor block, lineage
+            # bottoms out at the last checkpoint, staying correct)
+            old.unpersist(blocking=False)
 
     def split(self, frontier: DataFrame, url_col: str = "loc"):
         """(definitely_new, candidates) against the current state."""
-        served = self.serve()
         if self._broadcastable:
-            return split_by_bloom(frontier, served, url_col)
-        return split_by_bloom_relation(frontier, served[0], served[1],
+            return split_by_bloom(frontier, self._bytes, url_col)
+        return split_by_bloom_relation(frontier, self._rel, self.shape,
                                        url_col)
 
 
