@@ -129,11 +129,19 @@ def _load_world(spark: SparkSession, world_dir: str,
 def _annotate_frontier(frontier: DataFrame, world: dict,
                        index_current: DataFrame | None,
                        sites_dim: DataFrame, force: bool,
-                       expected_indexed: int | None = None) -> DataFrame:
+                       expected_indexed: int | None = None,
+                       index_filter: "seen.IncrementalUrlFilter | None"
+                       = None) -> DataFrame:
     """Steps F3/F4/F7/F8 as one narrow-column pass; html untouched.
 
     ``expected_indexed`` sizes the seen bloom filter without a count
-    job (run_crawl reads it from the index base's parquet footers)."""
+    job (run_crawl reads it from the index base's parquet footers).
+    ``index_filter``: a prebuilt seen filter over ``index_current``'s
+    urls — callers that annotate repeatedly against the same immutable
+    index snapshot (link discovery, every batch) or that can overlap
+    the build with other plan-phase jobs pass one instead of paying a
+    fresh O(index) filter build per call. The filter is a PRE-filter
+    over the same url set, so results are bit-identical either way."""
     pages_meta = world["pages"].select(F.col("url").alias("loc"),
                                        "warc_ts")
     fs = world["fetch_status"].select(
@@ -156,12 +164,15 @@ def _annotate_frontier(frontier: DataFrame, world: dict,
 
     if index_current is not None:
         # bloom prune: urls surely not indexed skip the exact join.
-        # split_by_index picks the serving form by filter size —
-        # driver-bytes broadcast here (small index), the end-to-end
-        # (shard, bits) relation above BROADCAST_MAX_BYTES
-        new, cand = seen.split_by_index(df, index_current.select("url"),
-                                        "loc", "url",
-                                        expected_items=expected_indexed)
+        # The serving form is picked by filter size — driver-bytes
+        # broadcast here (small index), the end-to-end (shard, bits)
+        # relation above BROADCAST_MAX_BYTES
+        if index_filter is not None:
+            new, cand = index_filter.split(df, "loc")
+        else:
+            new, cand = seen.split_by_index(
+                df, index_current.select("url"), "loc", "url",
+                expected_items=expected_indexed)
         cand = with_last_indexed(cand, index_current, sites_dim)
         new = new.withColumn("last_indexed",
                              F.lit(None).cast("timestamp"))
@@ -184,7 +195,9 @@ def _annotate_frontier(frontier: DataFrame, world: dict,
 
 def _annotate_discovered(cand: DataFrame, world: dict,
                          sites_dim: DataFrame, host_dim: DataFrame,
-                         force: bool, expected_indexed: int) -> DataFrame:
+                         force: bool, expected_indexed: int,
+                         index_filter: "seen.IncrementalUrlFilter | None"
+                         = None) -> DataFrame:
     """Link-discovered candidates (loc, n_refs) → annotated frontier
     rows, shaped exactly like sitemap rows so they union into
     ``remaining`` and ride the same politeness/extraction path:
@@ -233,7 +246,8 @@ def _annotate_discovered(cand: DataFrame, world: dict,
         "host", "crawl_seq")
     return _annotate_frontier(frontier, world, world["index0"],
                               sites_dim, force,
-                              expected_indexed=expected_indexed)
+                              expected_indexed=expected_indexed,
+                              index_filter=index_filter)
 
 
 def _batch_resources(batch: DataFrame, world: dict,
@@ -326,6 +340,7 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
         resuming = resume and bool(committed)
         enqueued = None
         n_enqueued = 0
+        idx_filter = None   # fresh path builds one over the base index
 
         if resuming:
             with open(meta_path) as fh:
@@ -396,6 +411,15 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
             sink.write_base_files(f"{world_dir}/index0.parquet")
             sdf = sites_df(spark, sites)
 
+            # the indexed-url seen filter depends only on the base
+            # snapshot just written — build it on a thread so its job
+            # overlaps the sitemap parse below (which runs a handful of
+            # per-site tasks and leaves most cores idle)
+            idx_filter_task = _BgTask(
+                seen.IncrementalUrlFilter,
+                spark.read.parquet(sink.base_path).select("url"), "url",
+                _parquet_rows(sink.base_path))
+
             # P2 per-site error isolation (main.py:80-88): a site whose
             # sitemap discovery fails is recorded and skipped; the rest of
             # the run proceeds. The error metrics row is the analog of the
@@ -434,10 +458,10 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
             # persist: three consumers below (skip metrics, the remaining
             # snapshot, initial host state) would otherwise each re-run the
             # bloom-probe + last-indexed join over the whole frontier
+            idx_filter = idx_filter_task.join()
             annotated = _annotate_frontier(
                 frontier, world, spark.read.parquet(sink.base_path), sdf,
-                force,
-                expected_indexed=_parquet_rows(sink.base_path)).persist()
+                force, index_filter=idx_filter).persist()
             to_crawl = annotated.filter(F.col("skip_reason").isNull())
 
             # materialize the frontier ONCE executor-side (this scan also
@@ -537,8 +561,17 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
             # discovered-row annotation uses the immutable PRE-RUN
             # index (world index0): sink.base_path is rewritten by
             # mid-run compaction, and reference semantics pin
-            # is_modified to the pre-run snapshot anyway
+            # is_modified to the pre-run snapshot anyway. Its seen
+            # filter is built ONCE per run and reused by every
+            # discovery batch (rebuilding it per batch would be
+            # O(index) per batch); on a fresh run the plan phase
+            # already built the identical filter — the base snapshot
+            # is a verbatim copy of index0 (write_base_files above),
+            # so the url set and the footer-derived geometry match.
             n_index0 = _parquet_rows(f"{world_dir}/index0.parquet")
+            index0_filter = idx_filter or seen.IncrementalUrlFilter(
+                world["index0"].select("url"), "url",
+                expected_items=n_index0)
 
             # INCREMENTAL enqueued-set filter: geometry pinned once
             # (sized 4× the initial frontier — a production run budgets
@@ -590,8 +623,9 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                     # a chain of latency-bound jobs — job count is the
                     # cost at sandbox scale, BASELINE.md)
                     ann = _annotate_discovered(
-                        cand, world, sdf, host_dim, force,
-                        n_index0).localCheckpoint(eager=False)
+                        cand, world, sdf, host_dim, force, n_index0,
+                        index_filter=index0_filter).localCheckpoint(
+                            eager=False)
                     counts = ann.agg(
                         F.count(F.lit(1)).alias("n"),
                         F.count(F.when(F.col("skip_reason").isNull(),
