@@ -247,7 +247,7 @@ def main() -> int:
             per_query[name] = round(time.perf_counter() - t0, 2)
 
     crawl = bench_crawl(spark, sf, n_urls=n_urls)
-    per_query["crawl_pipeline"] = crawl["sec"]
+    per_query["crawl_pipeline"] = round(crawl["sec"], 2)
 
     total = round(sum(per_query.values()), 3)
     line = {

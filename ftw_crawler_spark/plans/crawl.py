@@ -195,9 +195,9 @@ def _annotate_frontier(frontier: DataFrame, world: dict,
 
 def _annotate_discovered(cand: DataFrame, world: dict,
                          sites_dim: DataFrame, host_dim: DataFrame,
-                         force: bool, expected_indexed: int,
-                         index_filter: "seen.IncrementalUrlFilter | None"
-                         = None) -> DataFrame:
+                         force: bool,
+                         index_filter: "seen.IncrementalUrlFilter"
+                         ) -> DataFrame:
     """Link-discovered candidates (loc, n_refs) → annotated frontier
     rows, shaped exactly like sitemap rows so they union into
     ``remaining`` and ride the same politeness/extraction path:
@@ -246,7 +246,6 @@ def _annotate_discovered(cand: DataFrame, world: dict,
         "host", "crawl_seq")
     return _annotate_frontier(frontier, world, world["index0"],
                               sites_dim, force,
-                              expected_indexed=expected_indexed,
                               index_filter=index_filter)
 
 
@@ -320,7 +319,7 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
     # outstanding — a daemon writer must never race interpreter
     # teardown mid-parquet-write, and its failure must never be
     # silently dropped behind the primary exception
-    purge_writer = ckpt_writer = pending = None
+    purge_writer = ckpt_writer = pending = idx_filter_task = None
     try:
         world = _load_world(spark, world_dir, pages_table=pages_table)
         sink = IndexSink(spark, os.path.join(out_dir, "index"))
@@ -569,9 +568,17 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
             # is a verbatim copy of index0 (write_base_files above),
             # so the url set and the footer-derived geometry match.
             n_index0 = _parquet_rows(f"{world_dir}/index0.parquet")
-            index0_filter = idx_filter or seen.IncrementalUrlFilter(
-                world["index0"].select("url"), "url",
-                expected_items=n_index0)
+            index0_filter_box = [idx_filter]
+
+            def _index0_filter():
+                # lazy: resumed runs that never discover (exhausted
+                # frontier) skip the O(index) build entirely; built at
+                # most once — only the single prefetch thread calls it
+                if index0_filter_box[0] is None:
+                    index0_filter_box[0] = seen.IncrementalUrlFilter(
+                        world["index0"].select("url"), "url",
+                        expected_items=n_index0)
+                return index0_filter_box[0]
 
             # INCREMENTAL enqueued-set filter: geometry pinned once
             # (sized 4× the initial frontier — a production run budgets
@@ -623,8 +630,8 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                     # a chain of latency-bound jobs — job count is the
                     # cost at sandbox scale, BASELINE.md)
                     ann = _annotate_discovered(
-                        cand, world, sdf, host_dim, force, n_index0,
-                        index_filter=index0_filter).localCheckpoint(
+                        cand, world, sdf, host_dim, force,
+                        index_filter=_index0_filter()).localCheckpoint(
                             eager=False)
                     counts = ann.agg(
                         F.count(F.lit(1)).alias("n"),
@@ -869,7 +876,7 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
         # a daemon thread mid-parquet-write must not race interpreter
         # teardown, and _COMMIT-last ordering means a joined-but-
         # failed write was never adopted
-        for _t in (pending, ckpt_writer, purge_writer):
+        for _t in (pending, ckpt_writer, purge_writer, idx_filter_task):
             if _t is not None:
                 try:
                     _t.join()
