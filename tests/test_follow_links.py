@@ -206,3 +206,44 @@ def test_default_mode_ignores_links(spark, linked_world,
     urls = {x["url"] for x in _index_rows(r)}
     assert not (urls & _hidden_urls())
     assert not [m for m in r.metrics if m.get("event") == "discovery"]
+
+
+def test_long_chain_multi_resume_equality(spark, tmp_path_factory):
+    """Long batch chain (enqueued-set compaction cadence crossed,
+    repeated O(batch) filter deltas, full AND delta checkpoints in one
+    run) with TWO resume points — one inside a delta span, one past a
+    full-snapshot boundary: final index rows AND the per-batch
+    admission sequence must equal the uninterrupted run's. This is the
+    contract the 1-batch resume tests can't see: replay across a
+    full+delta chain whose frontier grew by discovery several times."""
+    import json
+    import os
+
+    world = str(tmp_path_factory.mktemp("chainworld"))
+    generate_world(spark, world, n_urls=900)
+    add_link_layer(spark, world, n_hidden_per_site=N_HIDDEN)
+    kw = dict(crawl_time=CRAWL_TIME, follow_links=True,
+              order_mode="priority", batch_seconds=2.0)
+
+    def rows(r):
+        return sorted((x["url"], x["UID"], x["batch_id"]) for x in
+                      r.index().select("url", "UID",
+                                       "batch_id").collect())
+
+    def admits(out):
+        with open(os.path.join(out, "run_meta.json")) as fh:
+            meta = json.load(fh)
+        return [(m["batch"], m["admitted"]) for m in meta["metrics"]
+                if "admitted" in m]
+
+    out_a = str(tmp_path_factory.mktemp("chain_a"))
+    ra = run_crawl(spark, world, out_a, **kw)
+    assert ra.batches >= 10, f"chain too short: {ra.batches}"
+
+    out_b = str(tmp_path_factory.mktemp("chain_b"))
+    run_crawl(spark, world, out_b, max_batches=3, **kw)
+    run_crawl(spark, world, out_b, resume=True, max_batches=9, **kw)
+    rb = run_crawl(spark, world, out_b, resume=True, **kw)
+
+    assert rows(ra) == rows(rb)
+    assert admits(out_a) == admits(out_b)
