@@ -36,6 +36,20 @@ streaming batch id (the offset log pins file→batch assignment), so a
 replayed batch overwrites its own state delta instead of doubling it —
 the same idempotence argument as FrontierStream's sink.
 
+Compaction: a stream that runs forever accumulates one state subdir
+per micro-batch, so listing + footer overhead grows O(batches). Every
+``compact_every`` accumulated deltas they are folded into ONE
+``c{B}`` segment covering all state strictly below the
+currently-processing batch B (the same MOR economics as the index
+sink: O(state) rewrite amortized to O(state/compact_every) per
+batch). Crash-safe: tmp-write + atomic rename, superseded dirs become
+invisible to the reader the instant the rename lands and are swept on
+the next fold. Safe w.r.t. replay: foreachBatch commits batch N
+before delivering N+1, so only the current batch can ever replay —
+and the fold covers state strictly BEFORE it (a replayed batch B
+re-reads ``c{B}`` exactly as it read the deltas the segment
+replaced).
+
 Scale notes: the admitted corpus never ships anywhere — ``hashes/``
 and ``bands/`` are narrow relations joined on uniform md5 keys, and
 step 3 reads back only collided texts. Docs shorter than the shingle
@@ -47,6 +61,7 @@ provides that in the pipeline).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,34 +81,50 @@ class DedupStream:
     def __init__(self, spark: SparkSession, state_dir: str,
                  n_perm: int = dedup.DEFAULT_N_PERM,
                  bands: int = dedup.DEFAULT_BANDS,
-                 tau: float = 0.6):
+                 tau: float = 0.6, compact_every: int = 16):
         self.spark = spark
         self.state_dir = state_dir
         self.n_perm = n_perm
         self.bands = bands
         self.tau = tau
+        self.compact_every = max(2, compact_every)
         self.admitted_dir = os.path.join(state_dir, "admitted")
         self.hashes_dir = os.path.join(state_dir, "hashes")
         self.bands_dir = os.path.join(state_dir, "bands")
         self.ckpt = os.path.join(state_dir, "stream_checkpoint")
         self.query = None
+        self._roots = [
+            (self.admitted_dir, "doc_id long, text string"),
+            (self.hashes_dir, "content_hash string"),
+            (self.bands_dir,
+             "doc_id long, band_idx int, band_hash string"),
+        ]
 
     # -- state ----------------------------------------------------------------
 
     def _read_state(self, root: str, schema: str,
                     before: int | None = None) -> DataFrame:
-        """State deltas of batches strictly before ``before`` (all when
-        None). Batch N reading only deltas < N is what makes a
-        crash-replay idempotent: the replayed batch sees the exact
-        pre-batch state, recomputes the same survivors, and its
-        overwrite rewrites an identical delta — reading everything
-        would let a replay collide with its own prior output and erase
-        it."""
+        """State strictly before ``before`` (all when None): the newest
+        usable compacted segment (boundary ≤ before) plus the deltas
+        from its boundary up to ``before``. Batch N reading only state
+        < N is what makes a crash-replay idempotent: the replayed batch
+        sees the exact pre-batch state, recomputes the same survivors,
+        and its overwrite rewrites an identical delta — reading
+        everything would let a replay collide with its own prior output
+        and erase it. Deltas below a segment's boundary are IGNORED
+        even if present (a fold interrupted mid-sweep leaves them; the
+        segment supersedes them by construction)."""
         if os.path.isdir(root):
-            paths = [os.path.join(root, d)
-                     for d in sorted(os.listdir(root))
-                     if d.startswith("b")
-                     and (before is None or int(d[1:]) < before)]
+            names = os.listdir(root)
+            comp = sorted(int(d[1:]) for d in names
+                          if d.startswith("c")
+                          and (before is None or int(d[1:]) <= before))
+            base = comp[-1] if comp else 0
+            paths = ([os.path.join(root, f"c{base:09d}")]
+                     if comp else [])
+            paths += [os.path.join(root, d) for d in sorted(names)
+                      if d.startswith("b") and int(d[1:]) >= base
+                      and (before is None or int(d[1:]) < before)]
             if paths:
                 return self.spark.read.schema(schema).parquet(*paths)
         return self.spark.createDataFrame([], schema)
@@ -106,6 +137,37 @@ class DedupStream:
         (df.write.mode("overwrite")
          .parquet(os.path.join(root, f"b{batch_id:09d}")))
 
+    def _maybe_compact(self, batch_id: int) -> None:
+        """Fold the accumulated per-batch deltas below the current
+        batch into one segment per state root once ``compact_every``
+        have piled up since the last fold. Idempotent under replay (a
+        re-run sees boundary == batch_id and skips); crash-safe at
+        every step (tmp-write → atomic rename → sweep; an interrupted
+        sweep's leftovers are invisible to the reader and removed by
+        the next fold)."""
+        root0 = self._roots[0][0]
+        if not os.path.isdir(root0):
+            return
+        names = os.listdir(root0)
+        comp = [int(d[1:]) for d in names if d.startswith("c")]
+        base = max(comp) if comp else 0
+        pend = [d for d in names
+                if d.startswith("b") and base <= int(d[1:]) < batch_id]
+        if len(pend) < self.compact_every:
+            return
+        for root, schema in self._roots:
+            folded = self._read_state(root, schema, before=batch_id)
+            tmp = os.path.join(root, f"_tmp_c{batch_id:09d}")
+            shutil.rmtree(tmp, ignore_errors=True)
+            folded.write.mode("overwrite").parquet(tmp)
+            os.rename(tmp, os.path.join(root, f"c{batch_id:09d}"))
+            for d in os.listdir(root):
+                if (d.startswith("_tmp_")
+                        or (d[0] in "bc" and d[1:].isdigit()
+                            and int(d[1:]) < batch_id)):
+                    shutil.rmtree(os.path.join(root, d),
+                                  ignore_errors=True)
+
     def admitted(self) -> DataFrame:
         return self._read_state(self.admitted_dir,
                                 "doc_id long, text string")
@@ -113,6 +175,10 @@ class DedupStream:
     # -- per-batch admission ---------------------------------------------------
 
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        # fold accumulated state deltas FIRST — everything below this
+        # batch is committed (foreachBatch delivers N+1 only after N's
+        # commit), so the fold can never cover a replayable batch
+        self._maybe_compact(batch_id)
         h = F.md5(F.coalesce(F.col("text"), F.lit("")))
         docs = batch.select("doc_id", "text",
                             h.alias("content_hash"))

@@ -180,3 +180,79 @@ def test_real_stream_plumbing(spark, tmp_path_factory):
         ds.run_available(delta)
     got = {r["doc_id"] for r in ds.admitted().collect()}
     assert got == _oracle(CHUNKS[:2], ds.n_perm, ds.bands)
+
+
+def test_compaction_preserves_admission(spark, tmp_path_factory):
+    """compact_every=2 over the 3-chunk scenario folds mid-stream; the
+    admitted set, the state contents, and a subsequent batch's
+    admission decisions must equal the uncompacted run's."""
+    import os
+
+    state_a = str(tmp_path_factory.mktemp("dedup_nc"))
+    state_b = str(tmp_path_factory.mktemp("dedup_c"))
+    a = DedupStream(spark, state_a, tau=TAU)            # never folds
+    b = DedupStream(spark, state_b, tau=TAU, compact_every=2)
+    extra = [(20, _mk(BASE)),                # exact dup of 1 (cross)
+             (21, _mk([f"d{i}" for i in range(30)]))]   # distinct
+    for bid, chunk in enumerate(CHUNKS + [extra]):
+        batch = spark.createDataFrame(chunk, "doc_id long, text string")
+        a._process_batch(batch, bid)
+        b._process_batch(batch, bid)
+    rows_a = sorted(map(tuple, a.admitted().collect()))
+    rows_b = sorted(map(tuple, b.admitted().collect()))
+    assert rows_a == rows_b
+    # the fold actually happened: a compacted segment exists and the
+    # folded deltas are gone
+    names = os.listdir(b.admitted_dir)
+    assert any(d.startswith("c") for d in names)
+    assert sum(d.startswith("b") for d in names) < len(CHUNKS) + 1
+
+
+def test_replay_after_fold_reads_compacted_state(spark,
+                                                 tmp_path_factory):
+    """Crash-replay of the batch whose _process_batch performed the
+    fold: the replayed batch must read the compacted segment exactly
+    as it read the deltas it replaced (before=B excludes b{B} but
+    includes c{B})."""
+    state = str(tmp_path_factory.mktemp("dedup_replay_fold"))
+    ds = DedupStream(spark, state, tau=TAU, compact_every=2)
+    for bid, chunk in enumerate(CHUNKS):
+        batch = spark.createDataFrame(chunk, "doc_id long, text string")
+        ds._process_batch(batch, bid)
+    before = sorted(map(tuple, ds.admitted().collect()))
+    # batch 2 triggered the fold (2 deltas pending at its start);
+    # replay it — idempotence must hold across the fold boundary
+    batch = spark.createDataFrame(CHUNKS[2], "doc_id long, text string")
+    ds._process_batch(batch, 2)
+    after = sorted(map(tuple, ds.admitted().collect()))
+    assert after == before
+
+
+def test_interrupted_sweep_is_invisible(spark, tmp_path_factory):
+    """A fold that renamed its segment but crashed before deleting the
+    superseded deltas: the reader must ignore deltas below the segment
+    boundary (no double counting), and the next fold sweeps them."""
+    import os
+    import shutil
+
+    state = str(tmp_path_factory.mktemp("dedup_sweepcrash"))
+    ds = DedupStream(spark, state, tau=TAU, compact_every=2)
+    b0 = spark.createDataFrame(CHUNKS[0], "doc_id long, text string")
+    b1 = spark.createDataFrame(CHUNKS[1], "doc_id long, text string")
+    ds._process_batch(b0, 0)
+    ds._process_batch(b1, 1)
+    # simulate: fold at boundary 2 completed the rename for every root
+    # but the sweep never ran (superseded deltas left behind)
+    for root, schema in ds._roots:
+        folded = ds._read_state(root, schema, before=2)
+        tmp = os.path.join(root, "_tmp_c000000002")
+        folded.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, os.path.join(root, "c000000002"))
+        # deltas b0/b1 intentionally NOT deleted
+    want = _oracle(CHUNKS[:2], ds.n_perm, ds.bands)
+    got = {r["doc_id"] for r in ds.admitted().collect()}
+    assert got == want                      # no double counting
+    b2 = spark.createDataFrame(CHUNKS[2], "doc_id long, text string")
+    ds._process_batch(b2, 2)               # runs fine on mixed state
+    got = {r["doc_id"] for r in ds.admitted().collect()}
+    assert got == _oracle(CHUNKS, ds.n_perm, ds.bands)
