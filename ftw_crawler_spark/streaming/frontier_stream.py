@@ -57,7 +57,8 @@ class FrontierStream:
                  config: cfg.CrawlerConfig | None = None,
                  sites: list | None = None,
                  crawl_time: datetime | None = None,
-                 rebuild_bloom_every: int = 8):
+                 rebuild_bloom_every: int = 8,
+                 compact_every: int = 16):
         self.spark = spark
         self.config = config or cfg.default_config()
         self.sites = sites if sites is not None else default_sites()
@@ -66,6 +67,7 @@ class FrontierStream:
         self.ckpt = os.path.join(out_dir, "stream_checkpoint")
         self.pages = spark.read.parquet(f"{world_dir}/pages.parquet")
         self.rebuild_bloom_every = rebuild_bloom_every
+        self.compact_every = compact_every
         self._filter: seen.IncrementalUrlFilter | None = None
         self._batches_since_rebuild = 0
         self.query = None
@@ -124,6 +126,17 @@ class FrontierStream:
                 .withColumn("__csid", csid_map.getItem(F.col("site_id"))))
 
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        # MOR maintenance FIRST, before any of this batch's plans
+        # reference the sink's delta files (the seen filter's anti-join
+        # reads sink.current(); folding mid-batch would delete files a
+        # later action still re-reads). Without it the delta log grows
+        # one generation per micro-batch forever and the read-side LWW
+        # window with it. Replay-safe: a replayed batch re-appends the
+        # same rows post-fold and upsert-by-UID resolves them to the
+        # identical document (the same argument as the batch planner's
+        # mid-run compaction).
+        if self.sink.should_compact(self.compact_every):
+            self.sink.compact()
         fresh = self._seen_filter(batch)
         resources = self._resources(fresh)
         # spread the CPU-dense extraction across the cluster (see

@@ -108,3 +108,31 @@ def test_stream_index_has_uid_and_order(stream_run):
     assert idx.filter(F.col("UID").isNull()).count() == 0
     # op_seq = crawl_seq lineage survives into the sink
     assert idx.filter(F.col("op_seq") < 0).count() == 0
+
+
+def test_stream_sink_compaction(spark, tiny_world, frontier,
+                                tmp_path_factory):
+    """compact_every=2 folds the stream sink's MOR delta log mid-run:
+    the final index is identical to the uncompacted stream's, and the
+    delta log actually shrank (generations were folded into the
+    base)."""
+    def run(compact_every):
+        delta_dir = str(tmp_path_factory.mktemp("cmp_deltas"))
+        out_dir = str(tmp_path_factory.mktemp("cmp_out"))
+        fs = FrontierStream(spark, tiny_world, out_dir,
+                            compact_every=compact_every)
+        thirds = [frontier.filter(F.col("crawl_seq") % 3 == i)
+                  for i in range(3)]
+        for part in thirds:
+            part.write.mode("append").parquet(delta_dir)
+            fs.run_available(delta_dir)
+        gens = (len(os.listdir(fs.sink.delta_root))
+                if os.path.isdir(fs.sink.delta_root) else 0)
+        rows = sorted((r["url"], r["UID"]) for r in
+                      fs.index().select("url", "UID").collect())
+        return rows, gens
+
+    rows_a, gens_a = run(compact_every=10 ** 9)
+    rows_b, gens_b = run(compact_every=2)
+    assert rows_a == rows_b
+    assert gens_a >= 3 and gens_b < gens_a
