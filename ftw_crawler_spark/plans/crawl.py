@@ -669,7 +669,8 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
             pending = _BgTask(_schedule, remaining, host_state)
         batch = None
         prev_docs = None
-        deferred = None   # follow mode: (batch_id, is_full, processed)
+        deferred = None   # follow mode:
+        # (batch_id, is_full, processed, pre-transition host_state)
 
         def _flush_deferred(disc, n_disc, n_added):
             """Write the PREVIOUS batch's checkpoint — deferred until
@@ -679,7 +680,7 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
             nonlocal ckpt_writer, deferred
             if deferred is None:
                 return
-            bid, was_full, proc = deferred
+            bid, was_full, proc, hs_before = deferred
             deferred = None
             if n_added or n_disc:
                 metrics.append({"batch": bid, "event": "discovery",
@@ -692,7 +693,7 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                                       remaining, host_state)
             else:
                 ckpt_writer = _BgTask(_write_delta_ckpt, ckpt_root, bid,
-                                      proc, host_state, disc)
+                                      proc, host_state, disc, hs_before)
 
         while True:
             if max_batches is not None and n_batches >= max_batches:
@@ -732,6 +733,8 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
             # prefetch thread WHILE batch N extracts below. The tiny
             # localCheckpoints pin the exact rows both the prefetch and
             # the background checkpoint writer consume.
+            hs_prev = host_state     # pre-transition snapshot: the delta
+            # writer diffs against it to persist ONLY changed host rows
             host_state = politeness.updated_host_state(
                 host_state, batch.filter(F.col("n_429") > 0)
             ).localCheckpoint(eager=True)
@@ -811,7 +814,7 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                 # checkpoint write DEFERRED to the next pending.join():
                 # a full snapshot must include this batch's discovered
                 # rows, a delta must carry them for the resume replay
-                deferred = (batch_id, is_full, processed)
+                deferred = (batch_id, is_full, processed, hs_prev)
             else:
                 if ckpt_writer is not None:
                     # one writer outstanding at a time: batch K's
@@ -839,7 +842,7 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                     # background
                     ckpt_writer = _BgTask(_write_delta_ckpt, ckpt_root,
                                           batch_id, processed,
-                                          host_state)
+                                          host_state, None, hs_prev)
             metrics.append({"batch": batch_id, "admitted": admitted,
                             "indexed": indexed, "compacted": compacted,
                             "per_host_admitted": per_host,
@@ -982,7 +985,8 @@ def _read_ckpt(spark: SparkSession, root: str, batch_id: int):
 
 def _write_delta_ckpt(root: str, batch_id: int, processed: DataFrame,
                       host_state: DataFrame,
-                      discovered: DataFrame | None = None) -> None:
+                      discovered: DataFrame | None = None,
+                      prev_host_state: DataFrame | None = None) -> None:
     """Delta checkpoint: the batch's processed crawl_seq set (politeness-
     capped — tiny) + host state + (follow-links mode) the batch's
     link-discovered frontier rows, folded into ONE parquet write (one
@@ -992,13 +996,30 @@ def _write_delta_ckpt(root: str, batch_id: int, processed: DataFrame,
     with NULL loc, discovered rows carry crawl_seq AND loc (the full
     annotated frontier schema — the frontier GROWS between fulls, so
     the resume replay must re-add them), host rows carry (host,
-    sleeptime) with NULL crawl_seq. O(batch) bytes, not O(frontier)."""
+    sleeptime) with NULL crawl_seq. O(batch) bytes, not O(frontier).
+
+    ``prev_host_state``: the pre-transition host relation — when given,
+    only host rows whose sleeptime CHANGED this batch are written (the
+    429-doubled hosts, a handful), not the whole O(hosts) relation:
+    at 10^8 hosts a full copy per delta is O(hosts × batches) write
+    amplification for state that is immutable outside 429s. Resume
+    overlays delta host rows onto the last full snapshot last-wins per
+    host (_resume_state), which reads full-relation legacy deltas and
+    changed-only deltas identically."""
     d = os.path.join(root, f"batch={batch_id}")
+    hs = host_state
+    if prev_host_state is not None:
+        prev = prev_host_state.select(
+            "host", F.col("sleeptime").alias("__prev"))
+        hs = (host_state.join(prev, "host", "left")
+              .filter(F.col("__prev").isNull()
+                      | (F.col("sleeptime") != F.col("__prev")))
+              .select("host", "sleeptime"))
     combined = processed.select(
         "crawl_seq",
         F.lit(None).cast("string").alias("host"),
         F.lit(None).cast("double").alias("sleeptime"),
-    ).unionByName(host_state.select(
+    ).unionByName(hs.select(
         F.lit(None).cast("long").alias("crawl_seq"),
         "host", "sleeptime"))
     if discovered is not None:
@@ -1056,6 +1077,14 @@ def _resume_state(spark: SparkSession, root: str, committed: list):
                   for b, p in zip(delta_ids, state_paths)
                   if not os.path.isdir(p)]
         processed = None
+        # host-state overlay sources, each row tagged with its batch id
+        # (parsed from the file path): deltas persist only the host
+        # rows that CHANGED at their batch (legacy deltas carry the
+        # full relation — the last-wins fold reads both identically)
+        hs_rows = [full_hs.select(
+            "host", "sleeptime", F.lit(last_full).alias("__b"))]
+        _bid = F.regexp_extract(F.input_file_name(),
+                                r"batch=(-?\d+)/", 1).cast("long")
         modern = [p for p in state_paths if os.path.isdir(p)]
         if modern:
             # mergeSchema: follow-links deltas carry the full annotated
@@ -1063,7 +1092,9 @@ def _resume_state(spark: SparkSession, root: str, committed: list):
             # only (crawl_seq, host, sleeptime) — a resume may span
             # both
             st = (spark.read.option("mergeSchema", "true")
-                  .parquet(*modern))
+                  .parquet(*modern).withColumn("__b", _bid))
+            hs_rows.append(st.filter(F.col("crawl_seq").isNull())
+                           .select("host", "sleeptime", "__b"))
             proc = st.filter(F.col("crawl_seq").isNotNull())
             if "loc" in st.columns:
                 # discovered rows (crawl_seq AND loc non-null) GROW the
@@ -1080,11 +1111,23 @@ def _resume_state(spark: SparkSession, root: str, committed: list):
             old = spark.read.parquet(*legacy).select("crawl_seq")
             processed = (old if processed is None
                          else processed.unionByName(old))
+            legacy_hs = [os.path.join(os.path.dirname(p), "host_state")
+                         for p in legacy]
+            legacy_hs = [p for p in legacy_hs if os.path.isdir(p)]
+            if legacy_hs:
+                hs_rows.append(spark.read.parquet(*legacy_hs)
+                               .withColumn("__b", _bid)
+                               .select("host", "sleeptime", "__b"))
         remaining = remaining.join(processed, "crawl_seq", "left_anti")
     if last == last_full:
         host_state = full_hs
     else:
-        host_state = _read_delta_ckpt(spark, root, last)[1]
+        hs_all = hs_rows[0]
+        for extra in hs_rows[1:]:
+            hs_all = hs_all.unionByName(extra)
+        host_state = (hs_all.groupBy("host")
+                      .agg(F.max_by("sleeptime", "__b")
+                           .alias("sleeptime")))
     return remaining, host_state, last_full
 
 

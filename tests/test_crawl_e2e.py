@@ -478,3 +478,58 @@ def test_corrupt_sitemap_site_not_purged(spark, world, engine_run,
     assert (r.index().filter(F.col("batch_id").isNotNull())
             .filter(F.col("url").startswith("http://site1.example.org/"))
             .count() == 0)
+
+
+def test_delta_checkpoint_persists_only_changed_hosts(spark,
+                                                      tmp_path_factory):
+    """Delta host rows are the CHANGED slice (429-doubled hosts), not
+    the whole O(hosts) relation, and _resume_state's last-wins overlay
+    reconstructs the exact post-transition host state — including a
+    host doubled twice across two deltas."""
+    import os
+
+    from ftw_crawler_spark.plans.crawl import (_resume_state,
+                                               _write_ckpt,
+                                               _write_delta_ckpt)
+
+    root = str(tmp_path_factory.mktemp("hs_delta_ckpt"))
+    frontier = spark.createDataFrame(
+        [(i, f"http://h{i % 3}.example.org/p{i}", f"h{i % 3}.example.org")
+         for i in range(9)], "crawl_seq long, loc string, host string")
+    hs0 = spark.createDataFrame(
+        [("h0.example.org", 0.1), ("h1.example.org", 0.1),
+         ("h2.example.org", 0.5)], "host string, sleeptime double")
+    _write_ckpt(root, -1, frontier, hs0)
+
+    # batch 0: h1 doubles (0.1 -> 0.2); h0/h2 unchanged
+    hs1 = spark.createDataFrame(
+        [("h0.example.org", 0.1), ("h1.example.org", 0.2),
+         ("h2.example.org", 0.5)], "host string, sleeptime double")
+    _write_delta_ckpt(root, 0,
+                      frontier.filter("crawl_seq < 3")
+                      .select("crawl_seq"),
+                      hs1, None, hs0)
+    # batch 1: h1 doubles again (0.2 -> 0.4)
+    hs2 = spark.createDataFrame(
+        [("h0.example.org", 0.1), ("h1.example.org", 0.4),
+         ("h2.example.org", 0.5)], "host string, sleeptime double")
+    _write_delta_ckpt(root, 1,
+                      frontier.filter("crawl_seq >= 3 and crawl_seq < 6")
+                      .select("crawl_seq"),
+                      hs2, None, hs1)
+
+    # format: each delta persisted exactly ONE host row (h1)
+    for b in (0, 1):
+        st = spark.read.parquet(os.path.join(root, f"batch={b}",
+                                             "state"))
+        hosts = st.filter(F.col("crawl_seq").isNull()).collect()
+        assert [(r["host"], r["sleeptime"]) for r in hosts] == \
+            [("h1.example.org", 0.2 if b == 0 else 0.4)]
+
+    remaining, host_state, last_full = _resume_state(spark, root,
+                                                     [-1, 0, 1])
+    assert last_full == -1
+    got = {r["host"]: r["sleeptime"] for r in host_state.collect()}
+    assert got == {"h0.example.org": 0.1, "h1.example.org": 0.4,
+                   "h2.example.org": 0.5}
+    assert remaining.count() == 3      # 6 of 9 processed
