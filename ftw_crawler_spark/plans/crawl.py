@@ -81,6 +81,31 @@ DISCOVERED_SEQ_BASE = 1 << 62
 _DISCOVERED_SEQ_MOD = 1 << 61
 
 
+def load_run_metrics(out_dir: str) -> list:
+    """All metrics rows of a run: the legacy inline list in
+    run_meta.json plus the append-only ``metrics.jsonl`` lines (the
+    per-batch persistence path — one O(1) append per batch instead of
+    rewriting the whole history, which is O(batches²) file I/O over a
+    long crawl). A torn final line (crash mid-append) is skipped; the
+    metrics are observability/lineage, never resume inputs."""
+    rows: list = []
+    meta_path = os.path.join(out_dir, "run_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            rows.extend(json.load(fh).get("metrics", []))
+    jl = os.path.join(out_dir, "metrics.jsonl")
+    if os.path.exists(jl):
+        with open(jl) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    try:
+                        rows.append(json.loads(line))
+                    except ValueError:
+                        pass   # torn tail from a crash mid-append
+    return rows
+
+
 @dataclass
 class CrawlResult:
     out_dir: str
@@ -326,6 +351,18 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
         ckpt_root = os.path.join(out_dir, "checkpoints")
         os.makedirs(ckpt_root, exist_ok=True)
         meta_path = os.path.join(out_dir, "run_meta.json")
+        metrics_jsonl = os.path.join(out_dir, "metrics.jsonl")
+        flushed = 0     # metrics rows already appended to the jsonl
+
+        def _flush_metrics():
+            # append-only persistence: O(new rows) per call, never a
+            # rewrite of the whole history (load_run_metrics reads it)
+            nonlocal flushed
+            if flushed < len(metrics):
+                with open(metrics_jsonl, "a") as fh:
+                    for m in metrics[flushed:]:
+                        fh.write(json.dumps(m) + "\n")
+                flushed = len(metrics)
 
         # F1: single-URL mode skips non-matching sites (main.py:76-78)
         if url:
@@ -348,7 +385,8 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
             last = committed[-1]
             remaining, host_state, last_full = _resume_state(
                 spark, ckpt_root, committed)
-            metrics = meta.get("metrics", [])
+            metrics = load_run_metrics(out_dir)
+            flushed = len(metrics)   # new rows append after the tail
             start_batch = last + 1
             ckpt_writer = None
             if follow_links:
@@ -403,6 +441,8 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
             with open(meta_path, "w") as fh:
                 json.dump({"crawl_time": crawl_time.isoformat(),
                            "metrics": []}, fh)
+            if os.path.exists(metrics_jsonl):   # stale from a prior run
+                os.remove(metrics_jsonl)
             metrics = []
             start_batch = 0
 
@@ -851,11 +891,7 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                             round(t_extract - t_sched, 3),
                             "sec_checkpoint":
                             round(time.perf_counter() - t_extract, 3)})
-            with open(meta_path) as fh:
-                meta = json.load(fh)
-            meta["metrics"] = metrics
-            with open(meta_path, "w") as fh:
-                json.dump(meta, fh)
+            _flush_metrics()
             batch.unpersist()
             batch_id += 1
             n_batches += 1
@@ -863,14 +899,10 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
         if ckpt_writer is not None:
             ckpt_writer.join()
         # the final batch's discovery event is appended by
-        # _flush_deferred AFTER that batch's meta write — persist the
-        # final metrics list so run_meta.json matches
-        # CrawlResult.metrics and a later resume doesn't drop it
-        with open(meta_path) as fh:
-            meta = json.load(fh)
-        meta["metrics"] = metrics
-        with open(meta_path, "w") as fh:
-            json.dump(meta, fh)
+        # _flush_deferred AFTER that batch's per-batch flush — flush
+        # the tail so the on-disk metrics match CrawlResult.metrics
+        # and a later resume doesn't drop it
+        _flush_metrics()
         return CrawlResult(out_dir=out_dir, batches=batch_id,
                            metrics=metrics, sink=sink)
     except BaseException:

@@ -216,9 +216,6 @@ def test_long_chain_multi_resume_equality(spark, tmp_path_factory):
     admission sequence must equal the uninterrupted run's. This is the
     contract the 1-batch resume tests can't see: replay across a
     full+delta chain whose frontier grew by discovery several times."""
-    import json
-    import os
-
     world = str(tmp_path_factory.mktemp("chainworld"))
     generate_world(spark, world, n_urls=900)
     add_link_layer(spark, world, n_hidden_per_site=N_HIDDEN)
@@ -231,10 +228,9 @@ def test_long_chain_multi_resume_equality(spark, tmp_path_factory):
                                        "batch_id").collect())
 
     def admits(out):
-        with open(os.path.join(out, "run_meta.json")) as fh:
-            meta = json.load(fh)
-        return [(m["batch"], m["admitted"]) for m in meta["metrics"]
-                if "admitted" in m]
+        from ftw_crawler_spark.plans.crawl import load_run_metrics
+        return [(m["batch"], m["admitted"])
+                for m in load_run_metrics(out) if "admitted" in m]
 
     out_a = str(tmp_path_factory.mktemp("chain_a"))
     ra = run_crawl(spark, world, out_a, **kw)
