@@ -359,9 +359,18 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
             # rewrite of the whole history (load_run_metrics reads it)
             nonlocal flushed
             if flushed < len(metrics):
-                with open(metrics_jsonl, "a") as fh:
+                with open(metrics_jsonl, "ab+") as fh:
+                    # repair a torn tail (crash mid-append left no
+                    # newline): without this the next row glues onto
+                    # the fragment and BOTH lines are lost to the
+                    # loader's torn-line skip
+                    fh.seek(0, os.SEEK_END)
+                    if fh.tell() > 0:
+                        fh.seek(-1, os.SEEK_END)
+                        if fh.read(1) != b"\n":
+                            fh.write(b"\n")
                     for m in metrics[flushed:]:
-                        fh.write(json.dumps(m) + "\n")
+                        fh.write((json.dumps(m) + "\n").encode())
                 flushed = len(metrics)
 
         # F1: single-URL mode skips non-matching sites (main.py:76-78)
@@ -1115,8 +1124,13 @@ def _resume_state(spark: SparkSession, root: str, committed: list):
         # full relation — the last-wins fold reads both identically)
         hs_rows = [full_hs.select(
             "host", "sleeptime", F.lit(last_full).alias("__b"))]
-        _bid = F.regexp_extract(F.input_file_name(),
-                                r"batch=(-?\d+)/", 1).cast("long")
+        # anchored to the state dir segment: a bare "batch=(\d+)/"
+        # would match the FIRST occurrence in the path, so an out_dir
+        # that itself contains a batch=<n>/ directory would mis-tag
+        # every row with that foreign id
+        _bid = F.regexp_extract(
+            F.input_file_name(),
+            r"batch=(-?\d+)/(?:state|host_state)/", 1).cast("long")
         modern = [p for p in state_paths if os.path.isdir(p)]
         if modern:
             # mergeSchema: follow-links deltas carry the full annotated

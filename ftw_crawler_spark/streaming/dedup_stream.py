@@ -87,7 +87,11 @@ class DedupStream:
         self.n_perm = n_perm
         self.bands = bands
         self.tau = tau
-        self.compact_every = max(2, compact_every)
+        # 0/None disables compaction (the sibling knobs' convention:
+        # IndexSink.should_compact, run_crawl/FrontierStream); values
+        # below 2 would rewrite O(state) nearly every batch — the
+        # exact amplification the fold exists to avoid
+        self.compact_every = compact_every or 0
         self.admitted_dir = os.path.join(state_dir, "admitted")
         self.hashes_dir = os.path.join(state_dir, "hashes")
         self.bands_dir = os.path.join(state_dir, "bands")
@@ -145,6 +149,8 @@ class DedupStream:
         every step (tmp-write → atomic rename → sweep; an interrupted
         sweep's leftovers are invisible to the reader and removed by
         the next fold)."""
+        if self.compact_every < 2:
+            return
         root0 = self._roots[0][0]
         if not os.path.isdir(root0):
             return

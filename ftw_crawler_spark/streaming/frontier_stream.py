@@ -134,7 +134,10 @@ class FrontierStream:
         # window with it. Replay-safe: a replayed batch re-appends the
         # same rows post-fold and upsert-by-UID resolves them to the
         # identical document (the same argument as the batch planner's
-        # mid-run compaction).
+        # mid-run compaction). Folded rows' op_seq collapses to the
+        # base sentinel (-2) — the sink's documented base-ification,
+        # identical to the batch planner's mid-run compaction; op_seq
+        # lineage is a property of not-yet-folded rows only.
         if self.sink.should_compact(self.compact_every):
             self.sink.compact()
         fresh = self._seen_filter(batch)

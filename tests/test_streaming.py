@@ -106,7 +106,10 @@ def test_stream_index_has_uid_and_order(stream_run):
     fs, _ = stream_run
     idx = fs.index()
     assert idx.filter(F.col("UID").isNull()).count() == 0
-    # op_seq = crawl_seq lineage survives into the sink
+    # op_seq = crawl_seq lineage survives into the sink for rows not
+    # yet folded by compaction (this fixture runs 2 batches, below
+    # compact_every — folded rows base-ify to -2 by sink contract,
+    # pinned in test_stream_compaction_baseifies_op_seq)
     assert idx.filter(F.col("op_seq") < 0).count() == 0
 
 
@@ -136,3 +139,24 @@ def test_stream_sink_compaction(spark, tiny_world, frontier,
     rows_b, gens_b = run(compact_every=2)
     assert rows_a == rows_b
     assert gens_a >= 3 and gens_b < gens_a
+
+
+def test_stream_compaction_baseifies_op_seq(spark, tiny_world, frontier,
+                                            tmp_path_factory):
+    """The sink's documented base-ification: rows folded by mid-stream
+    compaction carry the base sentinel op_seq (-2) — the same contract
+    as the batch planner's mid-run compaction. Lineage (op_seq =
+    crawl_seq) is a property of not-yet-folded rows only (what
+    test_stream_index_has_uid_and_order pins on its fold-free run)."""
+    delta_dir = str(tmp_path_factory.mktemp("bs_deltas"))
+    out_dir = str(tmp_path_factory.mktemp("bs_out"))
+    fs = FrontierStream(spark, tiny_world, out_dir, compact_every=2)
+    for i in range(3):
+        (frontier.filter(F.col("crawl_seq") % 3 == i)
+         .write.mode("append").parquet(delta_dir))
+        fs.run_available(delta_dir)
+    idx = fs.index()
+    n_folded = idx.filter(F.col("op_seq") == -2).count()
+    n_live = idx.filter(F.col("op_seq") >= 0).count()
+    assert n_folded > 0          # the fold happened
+    assert n_live > 0            # post-fold batches keep lineage
