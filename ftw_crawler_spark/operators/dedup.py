@@ -363,7 +363,7 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
 def connected_components(pairs: DataFrame, a_col: str = "a",
                          b_col: str = "b",
                          max_iter: int = 50,
-                         algorithm: str = "propagation",
+                         algorithm: str = "auto",
                          stats: dict | None = None) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``;
     ``component`` is the minimum node id of its connected component.
@@ -375,7 +375,7 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
 
     ``algorithm``:
 
-    - ``"propagation"`` (default): iterative min-label propagation —
+    - ``"propagation"``: iterative min-label propagation —
       each round joins the (undirected) edge list against the current
       labels and takes the per-node min. One label shuffle per round;
       rounds = graph diameter. The right tool for near-dup graphs,
@@ -386,8 +386,20 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
       round: O(log n) rounds on adversarial long-chain graphs where
       propagation needs O(diameter). Costs one extra shuffle per
       round, so it only wins when the diameter is large.
+    - ``"auto"`` (default): propagation rounds until a convergence
+      probe at round ≥ 4 still sees changes, then pointer doubling
+      for the rest. Near-dup cliques (diameter ≤ ~4) pay zero extra shuffles;
+      long transitive chains — whose diameter is unknowable before the
+      run at 10^10-edge scale — finish in the doubled regime's
+      O(log n) residual rounds instead of O(diameter). This is the
+      scale-right default choice when the graph shape is not known.
 
-    Both modes produce identical labels (pinned by test_dedup_clusters);
+    All modes produce identical labels (pinned by test_dedup_clusters):
+    every step only lowers a node's label toward (never past) its
+    component minimum, and the probe-detected fixpoint of any step mix
+    is that minimum — interleaving shortcut rounds changes the path,
+    not the fixpoint.
+    Mode-shared machinery:
     the driver sees only a changed-row probe every 2nd round (label
     change is monotone, so the fixpoint is detected at most one no-op
     round late while the fixed per-job latency halves), and lineage is
@@ -395,7 +407,7 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     k-means refinement loop. ``stats``, when given, receives
     {"rounds": n} for observability/tests.
     """
-    if algorithm not in ("propagation", "pointer_doubling"):
+    if algorithm not in ("propagation", "pointer_doubling", "auto"):
         # fail loudly: a typo here would silently run the wrong
         # round-complexity class on a 10^10-edge graph
         raise ValueError(f"unknown algorithm {algorithm!r}")
@@ -411,6 +423,7 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("component", F.col("node")))
     rounds = 0
+    doubling = algorithm == "pointer_doubling"
     for _ in range(max_iter):
         rounds += 1
         # min label over each node's neighbours, pre-aggregated before
@@ -428,7 +441,7 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
                            "component",
                            F.coalesce("__h", F.col("component")))
                        .alias("component")))
-        if algorithm == "pointer_doubling":
+        if doubling:
             # shortcut: L(v) ← min(L(v), L(L(v))). L(v) is always the
             # id of a node in v's component, so the self-join is total
             # (left join only guards the in-flight asymmetry before
@@ -457,6 +470,11 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
                        .limit(1).count())
             if changed == 0:
                 break
+            if algorithm == "auto" and rounds >= 4:
+                # still moving after the near-clique horizon: the graph
+                # has real diameter — switch to the doubled regime
+                doubling = True
     if stats is not None:
         stats["rounds"] = rounds
+        stats["doubled"] = doubling
     return labels

@@ -40,7 +40,8 @@ def test_pointer_doubling_same_labels_fewer_rounds(spark):
     s_prop: dict = {}
     s_pd: dict = {}
     prop = {r["node"]: r["component"] for r in connected_components(
-        pairs, max_iter=30, stats=s_prop).collect()}
+        pairs, max_iter=30, algorithm="propagation",
+        stats=s_prop).collect()}
     pd_ = {r["node"]: r["component"] for r in connected_components(
         pairs, max_iter=30, algorithm="pointer_doubling",
         stats=s_pd).collect()}
@@ -48,6 +49,29 @@ def test_pointer_doubling_same_labels_fewer_rounds(spark):
     assert s_prop["rounds"] >= 15          # hop-by-hop
     assert s_pd["rounds"] <= 9             # distance doubles per round
     assert s_pd["rounds"] < s_prop["rounds"]
+
+
+def test_auto_switches_only_when_diameter_is_real(spark):
+    """auto = propagation on near-clique graphs (zero extra shuffles),
+    pointer doubling once a probe at round >= 4 still sees movement —
+    same labels as both pure modes (monotone steps share the fixpoint)."""
+    clique = spark.createDataFrame(
+        [(i, j) for i in range(1, 6) for j in range(i + 1, 6)],
+        "a long, b long")
+    s_clique: dict = {}
+    got = {r["node"]: r["component"] for r in connected_components(
+        clique, algorithm="auto", stats=s_clique).collect()}
+    assert got == {i: 1 for i in range(1, 6)}
+    assert not s_clique["doubled"]          # never left propagation
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(16)],
+                                  "a long, b long")
+    s_auto: dict = {}
+    auto = {r["node"]: r["component"] for r in connected_components(
+        chain, max_iter=30, algorithm="auto", stats=s_auto).collect()}
+    assert auto == {i: 0 for i in range(17)}
+    assert s_auto["doubled"]                # probe tripped the switch
+    assert s_auto["rounds"] <= 12           # beats the 16-round diameter
 
 
 def test_hash_sample_deterministic_and_partition_invariant(spark):
