@@ -19,9 +19,15 @@ the same pattern Iceberg's MOR (merge-on-read) uses.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# anchored (same convention as plans/crawl.py's checkpoint regex): a
+# stray dir that merely CONTAINS "batch=" must not be adopted as a log
+# generation
+_BATCH_DIR_RE = re.compile(r"^batch=(-?\d+)(_deletes)?$")
 
 
 def _dir_bytes(d: str) -> int:
@@ -98,15 +104,32 @@ class IndexSink:
 
     # -- read side ----------------------------------------------------------
 
-    def _read_log(self) -> DataFrame | None:
-        parts = []
-        if self._exists(self.base_path):
-            parts.append(self.spark.read.parquet(self.base_path))
+    def _delta_dirs(self) -> list[tuple[int, bool, str]]:
+        """Committed (_SUCCESS-marked) log generations as
+        (batch_id, is_deletes, path), batch-ordered. Pure metadata —
+        a directory LIST, no Spark job."""
+        out = []
         if os.path.isdir(self.delta_root):
             for d in sorted(os.listdir(self.delta_root)):
+                m = _BATCH_DIR_RE.match(d)
                 p = os.path.join(self.delta_root, d)
-                if self._exists(p):
-                    parts.append(self.spark.read.parquet(p))
+                if m and self._exists(p):
+                    out.append((int(m.group(1)), bool(m.group(2)), p))
+        out.sort(key=lambda t: (t[0], t[1]))
+        return out
+
+    def _read_log(self, min_batch: int | None = None,
+                  max_batch: int | None = None,
+                  include_base: bool = True) -> DataFrame | None:
+        parts = []
+        if include_base and self._exists(self.base_path):
+            parts.append(self.spark.read.parquet(self.base_path))
+        for bid, _, p in self._delta_dirs():
+            if min_batch is not None and bid <= min_batch:
+                continue
+            if max_batch is not None and bid > max_batch:
+                continue
+            parts.append(self.spark.read.parquet(p))
         if not parts:
             return None
         out = parts[0]
@@ -126,15 +149,73 @@ class IndexSink:
                             F.coalesce(F.col("is_delete"),
                                        F.lit(False))))
 
+    @staticmethod
+    def _resolve_lww(log: DataFrame) -> DataFrame:
+        """Last op per UID; one shuffle on UID."""
+        w = Window.partitionBy("UID").orderBy(F.col("op_seq").desc())
+        return (log.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).drop("__rn"))
+
     def current(self) -> DataFrame | None:
         """The MERGE-resolved view: last op per UID, tombstones dropped."""
         log = self._read_log()
         if log is None:
             return None
-        w = Window.partitionBy("UID").orderBy(F.col("op_seq").desc())
-        return (log.withColumn("__rn", F.row_number().over(w))
-                .filter((F.col("__rn") == 1) & (~F.col("is_delete")))
-                .drop("__rn", "is_delete"))
+        return (self._resolve_lww(log)
+                .filter(~F.col("is_delete")).drop("is_delete"))
+
+    def as_of(self, batch_id: int) -> DataFrame | None:
+        """Time travel (Iceberg ``VERSION AS OF`` analog): the
+        MERGE-resolved index as it stood after generation ``batch_id``
+        committed — base snapshot + delta generations ≤ batch_id only.
+
+        History reaches back to the last compaction: ``compact()``
+        folds the log into a new base (op_seq −2) and drops the delta
+        dirs, exactly like Iceberg snapshot expiry — generations folded
+        away are no longer addressable, and ``as_of`` of a pre-fold
+        generation returns the folded base state. Cost is identical to
+        ``current()`` minus the skipped generations (the batch filter
+        is a metadata LIST — no Spark job touches excluded dirs)."""
+        log = self._read_log(max_batch=batch_id)
+        if log is None:
+            return None
+        return (self._resolve_lww(log)
+                .filter(~F.col("is_delete")).drop("is_delete"))
+
+    def changes(self, since_batch: int,
+                until_batch: int | None = None) -> DataFrame | None:
+        """CDC (Iceberg changelog analog): the NET change per UID in
+        generations (since_batch, until_batch] — the winning row with
+        ``_change_type`` 'upsert' or 'delete'. A UID deleted then
+        re-crawled inside the window emits one upsert (its final
+        state); a re-crawl of identical content is still an upsert
+        event (Solr LWW semantics — no value diffing). This is the
+        incremental-consumer read path at 100 TB: re-embed / re-export
+        only what changed since the last training snapshot, never
+        rescan the base. Returns None when the window holds no
+        committed generations (same contract as ``current`` on an
+        empty sink)."""
+        log = self._read_log(min_batch=since_batch,
+                             max_batch=until_batch, include_base=False)
+        if log is None:
+            return None
+        return (self._resolve_lww(log)
+                .withColumn("_change_type",
+                            F.when(F.col("is_delete"), F.lit("delete"))
+                             .otherwise(F.lit("upsert")))
+                .drop("is_delete"))
+
+    def history(self) -> list[dict]:
+        """Committed generations (Iceberg ``snapshots`` metadata-table
+        analog): [{'batch_id', 'kind'}] in commit order, plus the base
+        snapshot when present. Metadata-only — a LIST, no Spark job."""
+        out = []
+        if self._exists(self.base_path):
+            out.append({"batch_id": None, "kind": "base"})
+        out.extend({"batch_id": bid,
+                    "kind": "deletes" if is_del else "upserts"}
+                   for bid, is_del, _ in self._delta_dirs())
+        return out
 
     def should_compact(self, compact_every: int | None,
                        max_delta_frac: float | None = 0.5,

@@ -106,6 +106,68 @@ def test_incomplete_compaction_tmp_discarded(spark, tmp_path):
     assert after == before
 
 
+def test_as_of_time_travel(spark, tmp_path):
+    """VERSION AS OF analog: each generation boundary is addressable;
+    pre-log reads serve the base; post-compaction reads fold away."""
+    sink = _sink(spark, tmp_path)   # base, deletes@0, upserts@1
+    # before any delta generation: the raw base snapshot
+    at_base = {r["UID"]: r["Title"] for r in sink.as_of(-1).collect()}
+    assert at_base == {"u1": "old-1", "u2": "old-2", "u3": "old-3"}
+    # after the purge generation, before the crawl batch
+    at0 = {r["UID"] for r in sink.as_of(0).collect()}
+    assert at0 == {"u1", "u3"}
+    # after batch 1 == current()
+    at1 = sorted((r["UID"], r["Title"]) for r in sink.as_of(1).collect())
+    cur = sorted((r["UID"], r["Title"]) for r in sink.current().collect())
+    assert at1 == cur
+    # history reaches back only to the last compaction (snapshot expiry)
+    sink.compact()
+    folded = sorted((r["UID"], r["Title"])
+                    for r in sink.as_of(-1).collect())
+    assert folded == cur
+
+
+def test_changes_cdc_net_effect(spark, tmp_path):
+    """Changelog analog: net change per UID inside the generation
+    window, tombstone-in-window beaten by a later re-crawl."""
+    sink = _sink(spark, tmp_path)
+    # window (0, 1]: only batch 1's upserts
+    ch = {r["UID"]: r["_change_type"]
+          for r in sink.changes(since_batch=0, until_batch=1).collect()}
+    assert ch == {"u1": "upsert", "u4": "upsert"}
+    # window (-1, 1]: the purge tombstone AND the upserts
+    ch = {r["UID"]: r["_change_type"]
+          for r in sink.changes(since_batch=-1).collect()}
+    assert ch == {"u1": "upsert", "u2": "delete", "u4": "upsert"}
+    # delete then re-crawl inside one window nets to the upsert
+    sink.append_deletes(
+        spark.createDataFrame([("u1",)], "UID string"), batch_id=2)
+    sink.append_upserts(
+        spark.createDataFrame([("u1", "http://a/1", "re-1", 30)],
+                              "UID string, url string, Title string, "
+                              "op_seq long"), batch_id=3)
+    ch = {r["UID"]: (r["_change_type"], r["Title"]) for r in
+          sink.changes(since_batch=1, until_batch=3).collect()}
+    assert ch == {"u1": ("upsert", "re-1")}
+    # empty window → None (same contract as current() on an empty sink)
+    assert sink.changes(since_batch=3) is None
+
+
+def test_history_lists_committed_generations(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    assert sink.history() == [
+        {"batch_id": None, "kind": "base"},
+        {"batch_id": 0, "kind": "deletes"},
+        {"batch_id": 1, "kind": "upserts"},
+    ]
+    # an uncommitted (no _SUCCESS) or foreign dir is never adopted
+    os.makedirs(os.path.join(sink.delta_root, "batch=9"))
+    os.makedirs(os.path.join(sink.delta_root, "not-a-batch=3"))
+    assert {h["batch_id"] for h in sink.history()} == {None, 0, 1}
+    sink.compact()
+    assert sink.history() == [{"batch_id": None, "kind": "base"}]
+
+
 def test_snapshot_diff_classification(spark):
     from ftw_crawler_spark.operators.incremental import snapshot_diff
     old = spark.createDataFrame(
