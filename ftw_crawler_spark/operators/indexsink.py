@@ -194,7 +194,17 @@ class IndexSink:
         only what changed since the last training snapshot, never
         rescan the base. Returns None when the window holds no
         committed generations (same contract as ``current`` on an
-        empty sink)."""
+        empty sink).
+
+        Application contract: rows keep ``op_seq``, and the consumer
+        applies them to its ``as_of(since_batch)`` snapshot as an LWW
+        MERGE on (UID, op_seq) — never a blind set-patch. op_seq is
+        not batch-monotone (a run-start purge tombstone is ordered at
+        −1, BELOW every crawl row by design — see append_deletes), so
+        a window can carry a tombstone that loses to an upsert the
+        consumer already holds; the merge resolves that correctly
+        because LWW over any partition of the op log is associative.
+        Pinned by test_cdc_reconstruction_invariant."""
         log = self._read_log(min_batch=since_batch,
                              max_batch=until_batch, include_base=False)
         if log is None:
@@ -241,7 +251,10 @@ class IndexSink:
         object-store LIST in production), no Spark job."""
         if not os.path.isdir(self.delta_root):
             return False
-        gens = len(os.listdir(self.delta_root))
+        # committed generations only — the same set the read side
+        # unions; an uncommitted (no _SUCCESS) dir must not trigger a
+        # base rewrite that its writer could still be racing
+        gens = len(self._delta_dirs())
         if compact_every and gens >= compact_every:
             return True
         if max_delta_frac is not None and self._exists(self.base_path):

@@ -153,6 +153,36 @@ def test_changes_cdc_net_effect(spark, tmp_path):
     assert sink.changes(since_batch=3) is None
 
 
+def test_cdc_reconstruction_invariant(spark, tmp_path):
+    """The incremental-consumer contract: for ANY generation boundary
+    m, LWW-merging changes(since=m) into as_of(m) on (UID, op_seq)
+    equals current() — a downstream re-embed/re-export job that
+    applies the CDC stream to its last snapshot lands exactly on the
+    live index. The merge (not a set-patch) is load-bearing: batch 2's
+    purge tombstone sits at op_seq −1, below u1's batch-1 upsert, so a
+    consumer already holding that upsert must let it win."""
+    sink = _sink(spark, tmp_path)
+    sink.append_deletes(
+        spark.createDataFrame([("u1",)], "UID string"), batch_id=2)
+    sink.append_upserts(
+        spark.createDataFrame([("u5", "http://a/5", "new-5", 40)],
+                              "UID string, url string, Title string, "
+                              "op_seq long"), batch_id=3)
+    cur = {r["UID"] for r in sink.current().collect()}
+    assert "u1" in cur                      # tombstone lost on op_seq
+    for m in (-1, 0, 1, 2):
+        held = {r["UID"]: r["op_seq"] for r in sink.as_of(m).collect()}
+        merged = dict(held)
+        for r in sink.changes(since_batch=m).collect():
+            if r["UID"] in merged and merged[r["UID"]] >= r["op_seq"]:
+                continue                    # held version wins LWW
+            if r["_change_type"] == "delete":
+                merged.pop(r["UID"], None)
+            else:
+                merged[r["UID"]] = r["op_seq"]
+        assert set(merged) == cur, f"boundary {m}"
+
+
 def test_history_lists_committed_generations(spark, tmp_path):
     sink = _sink(spark, tmp_path)
     assert sink.history() == [
