@@ -69,6 +69,22 @@ def main(argv: list[str] | None = None) -> int:
                    help="ingest WARC archives (Common Crawl layout) "
                         "from this path into the world's page store "
                         "before crawling (sources/warc.py)")
+    p.add_argument("--export-as-of", type=int, default=None,
+                   metavar="BATCH",
+                   help="read-only: export the index as it stood after "
+                        "generation BATCH (time travel; no crawl runs)")
+    p.add_argument("--export-changes-since", type=int, default=None,
+                   metavar="BATCH",
+                   help="read-only: export the net per-UID changes in "
+                        "generations after BATCH (CDC; the re-embed-"
+                        "only-what-changed input; no crawl runs)")
+    p.add_argument("--export-changes-until", type=int, default=None,
+                   metavar="BATCH",
+                   help="upper generation bound for "
+                        "--export-changes-since (default: latest)")
+    p.add_argument("--export-path", default=None,
+                   help="parquet destination for the export modes "
+                        "(omit to just print the row count)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -87,6 +103,29 @@ def main(argv: list[str] | None = None) -> int:
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
              .getOrCreate())
+    if args.export_as_of is not None or \
+            args.export_changes_since is not None:
+        # read-only consumer modes over an existing sink — the
+        # downstream job's input materialization, never a crawl
+        import os as _os
+
+        from ftw_crawler_spark.operators.indexsink import IndexSink
+        sink = IndexSink(spark, _os.path.join(args.out, "index"))
+        if args.export_as_of is not None:
+            mode = "as_of"
+            df = sink.as_of(args.export_as_of)
+        else:
+            mode = "changes"
+            df = sink.changes(args.export_changes_since,
+                              args.export_changes_until)
+        rows = 0 if df is None else df.count()
+        if df is not None and args.export_path:
+            df.write.mode("overwrite").parquet(args.export_path)
+        print(json.dumps({"mode": mode, "rows": rows,
+                          "history": sink.history(),
+                          "export_path": args.export_path}))
+        return 0
+
     if args.warc_dir:
         # land WARC responses into the world's page store: the crawl
         # then fetch-simulates from real archived pages

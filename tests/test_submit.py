@@ -64,3 +64,42 @@ def test_spark_submit_pyfiles_runs_crawl(tmp_path, tiny_world):
              if ln.startswith("{")][-1]
     report2 = json.loads(line2)
     assert report2["indexed_rows"] == report["indexed_rows"]
+
+
+def test_export_modes_read_only(spark, tmp_path, capsys):
+    """--export-as-of / --export-changes-since are read-only consumer
+    modes: they open the existing sink, never run a crawl, and print
+    one JSON line with rows + the generation history."""
+    from ftw_crawler_spark.operators.indexsink import IndexSink
+    from jobs.crawl_submit import main
+
+    out = tmp_path / "out"
+    sink = IndexSink(spark, str(out / "index"))
+    sink.write_base(spark.createDataFrame(
+        [("u1", "http://a/1", "t1")],
+        "UID string, url string, Title string"))
+    sink.append_upserts(spark.createDataFrame(
+        [("u2", "http://a/2", "t2", 5)],
+        "UID string, url string, Title string, op_seq long"), 0)
+
+    exp = str(tmp_path / "asof.parquet")
+    assert main(["--world", "unused", "--out", str(out),
+                 "--export-as-of", "-1", "--export-path", exp]) == 0
+    rep = json.loads([ln for ln in capsys.readouterr().out.splitlines()
+                      if ln.startswith("{")][-1])
+    assert rep == {"mode": "as_of", "rows": 1, "export_path": exp,
+                   "history": [{"batch_id": None, "kind": "base"},
+                               {"batch_id": 0, "kind": "upserts"}]}
+    assert {r["UID"] for r in spark.read.parquet(exp).collect()} == {"u1"}
+
+    assert main(["--world", "unused", "--out", str(out),
+                 "--export-changes-since", "-1"]) == 0
+    rep = json.loads([ln for ln in capsys.readouterr().out.splitlines()
+                      if ln.startswith("{")][-1])
+    assert (rep["mode"], rep["rows"]) == ("changes", 1)
+    # empty window prints zero rows, still valid JSON
+    assert main(["--world", "unused", "--out", str(out),
+                 "--export-changes-since", "7"]) == 0
+    rep = json.loads([ln for ln in capsys.readouterr().out.splitlines()
+                      if ln.startswith("{")][-1])
+    assert rep["rows"] == 0
