@@ -82,6 +82,7 @@ def stream_index_changes(spark: SparkSession, index_root: str,
                        F.lit("delete")).otherwise(F.lit("upsert")))
             .withColumn(
                 "_generation",
-                F.regexp_extract(F.col("batch"), r"^(-?\d+)", 1)
+                F.regexp_extract(F.col("batch"),
+                                 r"^(?:stream_)?(-?\d+)", 1)
                  .cast("long"))
             .drop("is_delete", "batch"))
