@@ -18,6 +18,13 @@ def bucketed(spark, tiny_world, tmp_path_factory):
     # warehouse.dir is a static conf — the table lands in the session
     # default (./spark-warehouse, gitignored) and is dropped after
     pages = spark.read.parquet(f"{tiny_world}/pages.parquet")
+    # self-heal a leftover from a killed run: DROP alone doesn't clear
+    # an orphaned managed-table location, and saveAsTable then fails
+    # with LOCATION_ALREADY_EXISTS
+    import shutil
+    spark.sql("DROP TABLE IF EXISTS pages_bucketed_test")
+    shutil.rmtree("spark-warehouse/pages_bucketed_test",
+                  ignore_errors=True)
     write_bucketed_pages(pages, "pages_bucketed_test", n_buckets=8)
     yield read_bucketed_pages(spark, "pages_bucketed_test")
     spark.sql("DROP TABLE IF EXISTS pages_bucketed_test")
