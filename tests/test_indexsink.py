@@ -198,6 +198,29 @@ def test_history_lists_committed_generations(spark, tmp_path):
     assert sink.history() == [{"batch_id": None, "kind": "base"}]
 
 
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Iceberg-style additive schema evolution: a later generation may
+    carry a NEW column; older rows read it as NULL, the LWW merge and
+    the windowed reads are unaffected (unionByName with
+    allowMissingColumns on the read side)."""
+    sink = _sink(spark, tmp_path)   # generations without 'lang'
+    sink.append_upserts(spark.createDataFrame(
+        [("u7", "http://a/7", "t7", "de", 50)],
+        "UID string, url string, Title string, lang string, "
+        "op_seq long"), batch_id=4)
+    cur = {r["UID"]: r["lang"] for r in sink.current().collect()}
+    assert cur == {"u1": None, "u3": None, "u4": None, "u7": "de"}
+    # a windowed read exposes the union schema of the generations it
+    # actually reads: time travel BEFORE the column existed serves the
+    # schema as of that boundary
+    assert "lang" not in sink.as_of(1).columns
+    ch = sink.changes(since_batch=1)
+    assert {r["UID"]: r["lang"] for r in ch.collect()} == {"u7": "de"}
+    # compaction folds the evolved schema into the base
+    sink.compact()
+    assert {r["UID"]: r["lang"] for r in sink.current().collect()} == cur
+
+
 def test_stream_named_generations_are_adopted(spark, tmp_path):
     """The streaming planner appends under batch=stream_000000NNN
     (frontier_stream.py): the anchored generation regex must adopt
