@@ -42,12 +42,21 @@ def _dir_bytes(d: str) -> int:
 
 
 class IndexSink:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 read_only: bool = False):
+        """``read_only`` skips crash recovery: a CONSUMER process
+        (export CLI, CDC tail) must never mutate a sink another
+        process may be mid-compaction on — recovery deleting a live
+        writer's _SUCCESS-marked compact-tmp between its write and its
+        swap would strand the writer's renames and lose the base.
+        Recovery belongs to the single writer that owns the root."""
         self.spark = spark
         self.root = root
         self.base_path = os.path.join(root, "base")
         self.delta_root = os.path.join(root, "delta")
-        self._recover_compaction()
+        self.read_only = read_only
+        if not read_only:
+            self._recover_compaction()
 
     def _recover_compaction(self) -> None:
         """Adopt a completed-but-unswapped compaction snapshot after a
@@ -66,8 +75,14 @@ class IndexSink:
 
     # -- write side ---------------------------------------------------------
 
+    def _writable(self) -> None:
+        if self.read_only:
+            raise RuntimeError("IndexSink opened read_only; writes and "
+                               "compaction belong to the owning writer")
+
     def write_base(self, df: DataFrame) -> None:
         """Initial snapshot (pre-existing index state)."""
+        self._writable()
         (df.withColumn("op_seq", F.lit(-2).cast("long"))
            .withColumn("is_delete", F.lit(False))
            .write.mode("overwrite").parquet(self.base_path))
@@ -78,6 +93,7 @@ class IndexSink:
         is_delete columns to (-2, false), so this is equivalent to
         write_base without paying a full rewrite job (the base can be
         100× the per-batch delta at a real crawl's scale)."""
+        self._writable()
         import shutil
         shutil.rmtree(self.base_path, ignore_errors=True)
         shutil.copytree(src_parquet_dir, self.base_path)
@@ -90,6 +106,7 @@ class IndexSink:
         """Docs must carry UID + op_seq (crawl_seq serves as op_seq —
         later crawls of the same UID win, matching Solr's
         last-write-wins upsert)."""
+        self._writable()
         (docs.withColumn("is_delete", F.lit(False))
              .write.mode("overwrite")
              .parquet(os.path.join(self.delta_root, f"batch={batch_id}")))
@@ -98,6 +115,7 @@ class IndexSink:
         """Tombstones (S9). ``uids``: (UID). op_seq below all crawl rows
         of this run (crawl_seq >= 0) but above the base snapshot (-2) — purge runs before
         crawling (main.py:102)."""
+        self._writable()
         (uids.select("UID")
              .withColumn("op_seq", F.lit(-1).cast("long"))
              .withColumn("is_delete", F.lit(True))
@@ -207,7 +225,18 @@ class IndexSink:
         a window can carry a tombstone that loses to an upsert the
         consumer already holds; the merge resolves that correctly
         because LWW over any partition of the op log is associative.
-        Pinned by test_cdc_reconstruction_invariant."""
+        Pinned by test_cdc_reconstruction_invariant.
+
+        op_seq uniqueness scope: the merge key assumes at most one
+        upsert per (UID, op_seq) content version. That holds in the
+        supported lifecycle — one writer run per sink root (re-running
+        --out resumes, it never starts a second logical run), each URL
+        crawled at most once per run, and follow-mode discovered seqs
+        (2^62 + xxhash64(url), a pure URL function) therefore minted
+        once. Feeding a sink from multiple logical runs would need a
+        run-epoch folded into op_seq first — equal-seq re-upserts
+        would tie in the LWW window and be skipped by merge-applying
+        consumers."""
         log = self._read_log(min_batch=since_batch,
                              max_batch=until_batch, include_base=False)
         if log is None:
@@ -262,7 +291,10 @@ class IndexSink:
             return True
         if max_delta_frac is not None and self._exists(self.base_path):
             base = _dir_bytes(self.base_path)
-            delta = _dir_bytes(self.delta_root)
+            # committed generations only, same as the count trigger —
+            # a crashed writer's uncommitted dir must not byte-trip a
+            # base rewrite either
+            delta = sum(_dir_bytes(p) for _, _, p in self._delta_dirs())
             if base > 0 and delta >= compact_min_bytes \
                     and delta >= max_delta_frac * base:
                 return True
@@ -275,6 +307,7 @@ class IndexSink:
         either the old base is still in place, or the _SUCCESS-marked
         tmp is adopted by ``_recover_compaction``; leftover delta dirs
         replay idempotently over the compacted base."""
+        self._writable()
         cur = self.current()
         if cur is None:
             return

@@ -46,17 +46,33 @@ def change_schema(spark: SparkSession, index_root: str) -> T.StructType:
     """The unified op schema of an existing sink: every column any
     committed generation carries (tombstone generations persist only
     (UID, op_seq, is_delete); document columns read as NULL there),
-    plus the ``batch`` partition-directory column. One driver-side
-    footer read — no Spark job."""
+    plus the ``batch`` partition-directory column — forced to STRING:
+    partition inference types it integer while every dir happens to be
+    numeric, and the first ``batch=K_deletes`` / ``batch=stream_NNN``
+    dir would then stream with a NULL generation tag. Cost: one
+    schema-merge pass over the log's parquet footers (a small Spark
+    job — grows with generations until the next compaction); with no
+    generations yet, falls back to the base snapshot's footer plus the
+    log columns, so a consumer can start tailing a fresh or
+    just-compacted sink."""
     delta = os.path.join(index_root, "delta")
-    # mergeSchema: default inference reads ONE footer — a tombstone
-    # generation's (UID, op_seq, is_delete) would mask the doc columns
-    base = (spark.read.option("mergeSchema", "true")
-            .parquet(delta).schema)
-    names = set(base.fieldNames())
-    fields = list(base.fields)
-    if "batch" not in names:
-        fields.append(T.StructField("batch", T.StringType()))
+    base_dir = os.path.join(index_root, "base")
+    has_delta = any(os.scandir(delta)) if os.path.isdir(delta) else False
+    if has_delta:
+        # mergeSchema: default inference reads ONE footer — a tombstone
+        # generation's (UID, op_seq, is_delete) would mask the doc cols
+        base = (spark.read.option("mergeSchema", "true")
+                .parquet(delta).schema)
+    else:
+        base = spark.read.parquet(base_dir).schema
+    fields = [f for f in base.fields if f.name != "batch"]
+    names = {f.name for f in fields}
+    for extra, typ in (("op_seq", T.LongType()),
+                       ("is_delete", T.BooleanType())):
+        if extra not in names:
+            # file-copied bases (write_base_files) lack the log columns
+            fields.append(T.StructField(extra, typ))
+    fields.append(T.StructField("batch", T.StringType()))
     return T.StructType(fields)
 
 
@@ -73,6 +89,10 @@ def stream_index_changes(spark: SparkSession, index_root: str,
     if schema is None:
         schema = change_schema(spark, index_root)
     delta = os.path.join(index_root, "delta")
+    # the log dir may not exist yet (fresh sink, or compaction just
+    # folded it away) — the source needs a listable parent; creating
+    # the conventional dir is what the first append would do anyway
+    os.makedirs(delta, exist_ok=True)
     raw = (spark.readStream.schema(schema)
            .option("basePath", delta)
            .parquet(os.path.join(delta, "batch=*")))

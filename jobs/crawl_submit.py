@@ -86,6 +86,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="parquet destination for the export modes "
                         "(omit to just print the row count)")
     args = p.parse_args(argv)
+    if args.export_as_of is not None and \
+            args.export_changes_since is not None:
+        p.error("--export-as-of and --export-changes-since are "
+                "mutually exclusive")
+    if args.export_changes_until is not None and \
+            args.export_changes_since is None:
+        p.error("--export-changes-until requires "
+                "--export-changes-since")
 
     from pyspark.sql import SparkSession
 
@@ -105,12 +113,16 @@ def main(argv: list[str] | None = None) -> int:
              .getOrCreate())
     if args.export_as_of is not None or \
             args.export_changes_since is not None:
-        # read-only consumer modes over an existing sink — the
-        # downstream job's input materialization, never a crawl
+        # consumer modes over an existing sink — the downstream job's
+        # input materialization, never a crawl. read_only: this sink
+        # may belong to a LIVE writer; crash recovery (which mutates
+        # compact-tmp dirs) is the writer's job, not ours
         import os as _os
 
         from ftw_crawler_spark.operators.indexsink import IndexSink
-        sink = IndexSink(spark, _os.path.join(args.out, "index"))
+        from ftw_crawler_spark.plans.crawl import _parquet_rows
+        sink = IndexSink(spark, _os.path.join(args.out, "index"),
+                         read_only=True)
         if args.export_as_of is not None:
             mode = "as_of"
             df = sink.as_of(args.export_as_of)
@@ -118,9 +130,17 @@ def main(argv: list[str] | None = None) -> int:
             mode = "changes"
             df = sink.changes(args.export_changes_since,
                               args.export_changes_until)
-        rows = 0 if df is None else df.count()
-        if df is not None and args.export_path:
+        if df is None:
+            rows = 0
+        elif args.export_path:
+            # write once, count from the written footers — a count()
+            # before the write would run the log-union + LWW window
+            # shuffle twice (same reasoning as the crawl loop's
+            # _parquet_rows over its delta appends)
             df.write.mode("overwrite").parquet(args.export_path)
+            rows = _parquet_rows(args.export_path)
+        else:
+            rows = df.count()
         print(json.dumps({"mode": mode, "rows": rows,
                           "history": sink.history(),
                           "export_path": args.export_path}))

@@ -67,6 +67,53 @@ def test_cdc_stream_exactly_once_and_merge(spark, tmp_path):
     assert held == cur
 
 
+def test_stream_starts_on_fresh_or_compacted_sink(spark, tmp_path):
+    """A consumer (re)starting its tail right after compaction — or on
+    a base-only sink — must get an (initially empty) stream, not a
+    path-not-found: change_schema falls back to the base snapshot's
+    footer and the source's log dir is (re)created."""
+    root = str(tmp_path / "index")
+    sink = IndexSink(spark, root)
+    sink.write_base(spark.createDataFrame(
+        [("u1", "http://a/1", "t1")],
+        "UID string, url string, Title string"))
+    sink.append_upserts(spark.createDataFrame(
+        [("u2", "http://a/2", "t2", 5)],
+        "UID string, url string, Title string, op_seq long"), 0)
+    sink.compact()                     # delta dir folded away
+    got: list = []
+    _drain(spark, root, str(tmp_path / "ckpt"), got)
+    assert got == []                   # the base snapshot is not an op
+    # ops landing after the (re)start are picked up by the same tail
+    sink.append_upserts(spark.createDataFrame(
+        [("u3", "http://a/3", "t3", 9)],
+        "UID string, url string, Title string, op_seq long"), 1)
+    _drain(spark, root, str(tmp_path / "ckpt"), got)
+    assert [(r["UID"], r["_generation"]) for r in got] == [("u3", 1)]
+
+
+def test_change_schema_batch_is_string_without_deletes(spark, tmp_path):
+    """With only numeric upsert dirs, partition inference would type
+    ``batch`` integer — and the first batch=K_deletes or
+    batch=stream_NNN dir would then stream a NULL generation tag.
+    change_schema must force it to string."""
+    root = str(tmp_path / "index")
+    sink = IndexSink(spark, root)
+    sink.append_upserts(spark.createDataFrame(
+        [("u1", "http://a/1", "t1", 1)],
+        "UID string, url string, Title string, op_seq long"), 0)
+    sch = change_schema(spark, root)
+    assert sch["batch"].dataType.simpleString() == "string"
+    got: list = []
+    _drain(spark, root, str(tmp_path / "ckpt"), got)
+    # a later tombstone dir streams with its generation intact
+    sink.append_deletes(
+        spark.createDataFrame([("u1",)], "UID string"), batch_id=1)
+    _drain(spark, root, str(tmp_path / "ckpt"), got)
+    assert ("u1", "delete", 1) in {(r["UID"], r["_change_type"],
+                                    r["_generation"]) for r in got}
+
+
 def test_change_schema_unifies_generation_kinds(spark, tmp_path):
     root = str(tmp_path / "index")
     sink = IndexSink(spark, root)

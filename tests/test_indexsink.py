@@ -198,6 +198,48 @@ def test_history_lists_committed_generations(spark, tmp_path):
     assert sink.history() == [{"batch_id": None, "kind": "base"}]
 
 
+def test_read_only_sink_never_mutates(spark, tmp_path):
+    """A consumer-opened sink (read_only=True) must not run crash
+    recovery — deleting a live writer's _SUCCESS-marked compact-tmp
+    between its write and its swap would strand the writer's renames —
+    and must refuse writes outright."""
+    import pytest
+
+    sink = _sink(spark, tmp_path)
+    tmp = sink.base_path + ".compact-tmp"
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "_SUCCESS"), "w"):
+        pass
+    ro = IndexSink(spark, str(tmp_path / "index"), read_only=True)
+    assert os.path.isdir(tmp)          # untouched by the consumer
+    assert {r["UID"] for r in ro.current().collect()} == \
+        {"u1", "u3", "u4"}
+    for call in (lambda: ro.compact(),
+                 lambda: ro.append_deletes(
+                     spark.createDataFrame([("u1",)], "UID string"), 9),
+                 lambda: ro.write_base_files(str(tmp_path))):
+        with pytest.raises(RuntimeError, match="read_only"):
+            call()
+    # the OWNING writer still recovers (here: discards the stale tmp)
+    IndexSink(spark, str(tmp_path / "index"))
+    assert not os.path.isdir(tmp)
+
+
+def test_compaction_triggers_ignore_uncommitted_dirs(spark, tmp_path):
+    """Neither the generation count nor the byte trigger may see a
+    crashed writer's uncommitted (no _SUCCESS) delta dir."""
+    sink = _sink(spark, tmp_path)      # 2 committed generations
+    junk = os.path.join(sink.delta_root, "batch=99")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "part-0.parquet"), "wb") as fh:
+        fh.write(b"x" * (1 << 20))     # big uncommitted leftover
+    assert not sink.should_compact(compact_every=3, max_delta_frac=None)
+    # byte trigger: committed deltas are tiny vs the 1 MiB leftover —
+    # a huge frac threshold must stay quiet even with the floor off
+    assert not sink.should_compact(compact_every=100, max_delta_frac=3.0,
+                                   compact_min_bytes=0)
+
+
 def test_schema_evolution_add_column(spark, tmp_path):
     """Iceberg-style additive schema evolution: a later generation may
     carry a NEW column; older rows read it as NULL, the LWW merge and

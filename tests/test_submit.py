@@ -103,3 +103,18 @@ def test_export_modes_read_only(spark, tmp_path, capsys):
     rep = json.loads([ln for ln in capsys.readouterr().out.splitlines()
                       if ln.startswith("{")][-1])
     assert rep["rows"] == 0
+
+
+def test_export_flag_validation(tmp_path, capsys):
+    import pytest
+
+    from jobs.crawl_submit import main
+    with pytest.raises(SystemExit) as e:
+        main(["--world", "w", "--out", str(tmp_path),
+              "--export-as-of", "1", "--export-changes-since", "0"])
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        main(["--world", "w", "--out", str(tmp_path),
+              "--export-changes-until", "5"])
+    assert e.value.code == 2
+    capsys.readouterr()
