@@ -92,6 +92,47 @@ def test_stream_starts_on_fresh_or_compacted_sink(spark, tmp_path):
     assert [(r["UID"], r["_generation"]) for r in got] == [("u3", 1)]
 
 
+def test_tail_survives_midstream_compaction(spark, tmp_path):
+    """The retention contract from the consumer's side: a tail that
+    already processed generations 0..K keeps working when compaction
+    folds those dirs away — the source's offset log remembers files,
+    not dirs, so the next drain neither re-reads the deleted files nor
+    errors, and delivers exactly the post-compaction generations."""
+    root = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    sink = IndexSink(spark, root)
+    sink.append_upserts(spark.createDataFrame(
+        [("u1", "http://a/1", "t1", 1)],
+        "UID string, url string, Title string, op_seq long"), batch_id=0)
+    sink.append_deletes(
+        spark.createDataFrame([("u9",)], "UID string"), batch_id=1)
+    # pin the consumer schema BEFORE compaction: the post-compaction
+    # log starts empty and change_schema would re-derive from the base
+    schema = change_schema(spark, root)
+    got: list = []
+    q = (stream_index_changes(spark, root, schema=schema)
+         .writeStream
+         .foreachBatch(lambda df, _bid: got.extend(df.collect()))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert {(r["UID"], r["_generation"]) for r in got} == {("u1", 0),
+                                                           ("u9", 1)}
+    sink.compact()                     # gens 0-1 folded into the base
+    sink.append_upserts(spark.createDataFrame(
+        [("u2", "http://a/2", "t2", 7)],
+        "UID string, url string, Title string, op_seq long"), batch_id=2)
+    got2: list = []
+    q = (stream_index_changes(spark, root, schema=schema)
+         .writeStream
+         .foreachBatch(lambda df, _bid: got2.extend(df.collect()))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert [(r["UID"], r["_change_type"], r["_generation"])
+            for r in got2] == [("u2", "upsert", 2)]
+
+
 def test_change_schema_batch_is_string_without_deletes(spark, tmp_path):
     """With only numeric upsert dirs, partition inference would type
     ``batch`` integer — and the first batch=K_deletes or
