@@ -211,6 +211,71 @@ def candidates_from_links(links: DataFrame, known: DataFrame,
     return new.unionByName(confirmed)
 
 
+def anchor_text_profile(links: DataFrame, k: int = 3,
+                        src: str = "src_url", dst: str = "dst_url",
+                        anchor: str = "anchor",
+                        salt_buckets: int | None = 16) -> DataFrame:
+    """(dst_url, n_anchor_refs, n_distinct_anchors, top_anchors) — the
+    incoming-anchor profile per target URL: what the web *calls* each
+    page. The classic off-page signal a webtext pipeline derives from
+    the link graph (anchor-based titles for unfetched URLs, quality/
+    language voting, query-independent relevance) — the aggregation
+    half of ``extract_outlinks``'s (src, dst, anchor) rows.
+
+    Semantics: anchors are normalized (lower-cased, whitespace
+    collapsed); empty/whitespace-only anchors and self-links are
+    dropped; ``top_anchors`` is the k most frequent normalized anchors
+    as array<struct<anchor,n>> in (count desc, anchor asc) order —
+    fully deterministic, no task-order dependence.
+
+    100-TB posture: one map-side-combined count shuffle on
+    (dst, anchor_norm); totals are a second narrow agg on dst. The
+    per-dst top-k is the same EXACT salted two-phase rank as
+    ``sampling.stratified_sample`` / the politeness scheduler — a
+    homepage can carry millions of distinct anchors, so a single
+    ``Window.partitionBy(dst)`` would funnel the head target through
+    one task; with S salt buckets every global top-k row is within its
+    bucket's top-k, so the two-phase result is identical (pinned by
+    test_linkgraph's equivalence test). ``salt_buckets=None`` disables
+    the pre-phase (tiny inputs / the oracle form).
+    """
+    from pyspark.sql import Window
+
+    anorm = F.regexp_replace(
+        F.trim(F.lower(F.col(anchor))), r"\s+", " ")
+    counts = (links
+              .filter(F.col(src) != F.col(dst))
+              .select(F.col(dst).alias("dst_url"),
+                      anorm.alias("__a"))
+              .filter(F.col("__a").isNotNull() & (F.col("__a") != ""))
+              .groupBy("dst_url", "__a")
+              .agg(F.count(F.lit(1)).alias("__n")))
+    stats = counts.groupBy("dst_url").agg(
+        F.sum("__n").alias("n_anchor_refs"),
+        F.count(F.lit(1)).alias("n_distinct_anchors"))
+    order = [F.col("__n").desc(), F.col("__a")]
+    top = counts
+    if salt_buckets and salt_buckets > 1:
+        w1 = Window.partitionBy("dst_url", "__salt").orderBy(*order)
+        top = (top.withColumn("__salt",
+                              F.pmod(F.xxhash64("__a"),
+                                     F.lit(salt_buckets)))
+               .withColumn("__r1", F.row_number().over(w1))
+               .filter(F.col("__r1") <= k)
+               .drop("__salt", "__r1"))
+    w = Window.partitionBy("dst_url").orderBy(*order)
+    top = (top.withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") <= k))
+    prof = (top.groupBy("dst_url")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("__rn", F.col("__a"), F.col("__n")))),
+                lambda s: F.struct(s["__a"].alias("anchor"),
+                                   s["__n"].alias("n")))
+                .alias("top_anchors")))
+    return stats.join(prof, "dst_url")
+
+
 def build_edges(links: DataFrame, src: str = "src_url",
                 dst: str = "dst_url") -> DataFrame:
     """Distinct (src, dst) edge relation with self-loops dropped —

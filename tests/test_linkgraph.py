@@ -13,8 +13,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from ftw_crawler_spark.operators.linkgraph import (
-    build_edges, degrees, discover_frontier, extract_outlinks, pagerank,
-    parse_outlinks)
+    anchor_text_profile, build_edges, degrees, discover_frontier,
+    extract_outlinks, pagerank, parse_outlinks)
 
 
 PAGE = b"""<!DOCTYPE html><html><head><title>t</title></head><body>
@@ -171,6 +171,50 @@ def _py_pagerank(names, edges, n_iter=3, d=0.85):
         pr = {v: (1.0 - d) / n + d * (contrib[v] + dangling / n)
               for v in names}
     return pr
+
+
+class TestAnchorProfile:
+    LINKS = [
+        # normalization folds these three into one anchor "home page"
+        ("s1", "d1", "Home  Page"),
+        ("s2", "d1", "home page"),
+        ("s3", "d1", "  HOME\tPAGE "),
+        ("s4", "d1", "docs"),
+        ("s5", "d1", "docs"),
+        ("s6", "d1", "about"),
+        ("s7", "d1", "zzz-rare"),
+        ("s8", "d1", ""),            # empty anchor: dropped
+        ("s9", "d1", "   "),         # whitespace-only: dropped
+        ("d1", "d1", "self"),        # self-link: dropped
+        ("s1", "d2", "b"),           # d2: all-tied counts — rank by
+        ("s2", "d2", "a"),           # anchor asc
+        ("s3", "d2", "c"),
+    ]
+
+    def _links(self, spark):
+        return spark.createDataFrame(
+            self.LINKS, "src_url string, dst_url string, anchor string")
+
+    def test_profile_matches_python_oracle(self, spark):
+        got = {r.dst_url: r for r in
+               anchor_text_profile(self._links(spark), k=2).collect()}
+        d1 = got["d1"]
+        # 7 non-empty non-self anchor refs, 4 distinct after norm
+        assert (d1.n_anchor_refs, d1.n_distinct_anchors) == (7, 4)
+        assert [(t.anchor, t.n) for t in d1.top_anchors] == \
+            [("home page", 3), ("docs", 2)]
+        d2 = got["d2"]
+        assert (d2.n_anchor_refs, d2.n_distinct_anchors) == (3, 3)
+        # all counts tie at 1 — deterministic anchor-asc order
+        assert [(t.anchor, t.n) for t in d2.top_anchors] == \
+            [("a", 1), ("b", 1)]
+
+    def test_salted_two_phase_equals_single_window(self, spark):
+        links = self._links(spark)
+        salted = anchor_text_profile(links, k=2, salt_buckets=16)
+        plain = anchor_text_profile(links, k=2, salt_buckets=None)
+        assert sorted(map(repr, salted.collect())) == \
+            sorted(map(repr, plain.collect()))
 
 
 class TestGraphOps:
