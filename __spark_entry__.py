@@ -338,33 +338,6 @@ def _events_daily(spark, sf_dir):
     return daily.unionByName(total)
 
 
-@_q("q1_pricing_summary", """
-SELECT l_returnflag, l_linestatus,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-  count(*) AS count_order
-FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
-""")
-def _q1(spark, sf_dir):
-    """TPC-H Q1 shape: map-side partial agg on a low-cardinality key;
-    decimal-exact sums → double for cross-engine bit-parity."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-            .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-                 .cast("double").alias("sum_qty"),
-                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-                 .cast("double").alias("sum_base_price"),
-                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
-                       * (F.lit(1) - F.col("l_discount")
-                          .cast("decimal(18,2)")))
-                 .cast("double").alias("sum_disc_price"),
-                 F.count(F.lit(1)).alias("count_order")))
-
-
 @_q("q3_order_revenue", """
 SELECT o.o_orderkey AS orderkey, o.o_orderdate AS orderdate,
   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
@@ -1709,6 +1682,95 @@ def _priority_by_pagerank(spark, sf_dir):
     return (select_batch(frontier, host_state, 3.0,
                          order_mode="priority")
             .select("host", "crawl_seq", "pr_r6"))
+
+
+_ANCHOR_T = _MD5L.format("'t:' || doc_id || ':' || j")
+_ANCHOR_A = _MD5L.format("'a:' || doc_id || ':' || j")
+
+
+@_q("linkgraph_anchor_profile", f"""
+WITH l0 AS (
+  SELECT doc_id, j FROM documents, (SELECT unnest(range(0, 4)) AS j) u),
+raw AS (
+  SELECT
+    'd' || (({_ANCHOR_T}) % 101) AS dst_url,
+    CASE WHEN j = 3 AND doc_id % 10 = 5
+         THEN 'd' || (({_ANCHOR_T}) % 101)
+         ELSE 'u' || doc_id || ':' || j END AS src_url,
+    CASE WHEN j = 3 AND doc_id % 10 = 0 THEN ''
+         WHEN doc_id % 3 = 0
+           THEN upper('anchor ' || (({_ANCHOR_A}) % 7))
+         WHEN doc_id % 3 = 1
+           THEN 'anchor  ' || (({_ANCHOR_A}) % 7)
+         ELSE 'anchor ' || (({_ANCHOR_A}) % 7) END AS anchor
+  FROM l0),
+norm AS (
+  SELECT dst_url,
+         regexp_replace(trim(lower(anchor)), '\\s+', ' ', 'g') AS a
+  FROM raw WHERE src_url <> dst_url),
+counts AS (
+  SELECT dst_url, a, count(*) AS n FROM norm
+  WHERE a <> '' GROUP BY dst_url, a),
+stats AS (
+  SELECT dst_url, CAST(sum(n) AS BIGINT) AS n_anchor_refs,
+         count(*) AS n_distinct_anchors
+  FROM counts GROUP BY dst_url),
+topk AS (
+  SELECT dst_url, a AS anchor, n,
+         row_number() OVER (PARTITION BY dst_url
+                            ORDER BY n DESC, a) AS rnk
+  FROM counts QUALIFY rnk <= 3)
+SELECT s.dst_url, s.n_anchor_refs, s.n_distinct_anchors,
+       CAST(t.rnk AS BIGINT) AS rnk, t.anchor,
+       CAST(t.n AS BIGINT) AS n
+FROM stats s JOIN topk t USING (dst_url)
+""")
+def _linkgraph_anchor_profile(spark, sf_dir):
+    """Anchor-text profiles (operators/linkgraph.anchor_text_profile)
+    over a deterministic synthetic link relation — 4 outlinks per doc
+    hashed onto 101 targets, anchors drawn from a 7-word vocabulary
+    with case/double-space variants (the normalization fold), plus an
+    empty-anchor and a self-link row per tenth doc (the drop gates).
+    The oracle restates normalization, counting, totals and the
+    (count desc, anchor asc) top-3 in SQL; the salted two-phase rank's
+    equivalence to the single window is pinned in test_linkgraph, so
+    certifying the window form certifies the scale path. top_anchors
+    is posexploded to (rnk, anchor, n) rows — scalar columns
+    hash-compare cleanly across engines where arrays don't."""
+    from ftw_crawler_spark.operators.linkgraph import anchor_text_profile
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    l0 = docs.select(
+        "doc_id", F.explode(F.array(*[F.lit(i) for i in range(4)]))
+        .alias("j"))
+    did = F.col("doc_id").cast("string")
+    js = F.col("j").cast("string")
+    tkey = dedup.md5_long(F.concat(F.lit("t:"), did, F.lit(":"), js))
+    akey = dedup.md5_long(F.concat(F.lit("a:"), did, F.lit(":"), js))
+    dst = F.concat(F.lit("d"), (tkey % 101).cast("string"))
+    base = F.concat(F.lit("anchor "), (akey % 7).cast("string"))
+    anchor = (F.when((F.col("j") == 3) & (F.col("doc_id") % 10 == 0),
+                     F.lit(""))
+              .when(F.col("doc_id") % 3 == 0, F.upper(base))
+              .when(F.col("doc_id") % 3 == 1,
+                    F.concat(F.lit("anchor  "),
+                             (akey % 7).cast("string")))
+              .otherwise(base))
+    src = F.when((F.col("j") == 3) & (F.col("doc_id") % 10 == 5), dst) \
+        .otherwise(F.concat(F.lit("u"), did, F.lit(":"), js))
+    links = l0.select(src.alias("src_url"), dst.alias("dst_url"),
+                      anchor.alias("anchor"))
+    prof = anchor_text_profile(links, k=3)
+    return (prof.select("dst_url", "n_anchor_refs",
+                        "n_distinct_anchors",
+                        F.posexplode("top_anchors").alias("pos", "s"))
+            .select("dst_url",
+                    F.col("n_anchor_refs").cast("long")
+                    .alias("n_anchor_refs"),
+                    F.col("n_distinct_anchors").cast("long")
+                    .alias("n_distinct_anchors"),
+                    (F.col("pos") + 1).cast("long").alias("rnk"),
+                    F.col("s.anchor").alias("anchor"),
+                    F.col("s.n").cast("long").alias("n")))
 
 
 @_q("curation_line_dedup", """
