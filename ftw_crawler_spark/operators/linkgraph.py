@@ -249,7 +249,12 @@ def anchor_text_profile(links: DataFrame, k: int = 3,
                       anorm.alias("__a"))
               .filter(F.col("__a").isNotNull() & (F.col("__a") != ""))
               .groupBy("dst_url", "__a")
-              .agg(F.count(F.lit(1)).alias("__n")))
+              .agg(F.count(F.lit(1)).alias("__n"))
+              # two consumers (totals, top-k) with different downstream
+              # partitionings re-run the whole count shuffle otherwise
+              # (no ReusedExchange) — the same computed-sketch pattern
+              # dedup's simhash/minhash relations checkpoint lazily
+              .localCheckpoint(eager=False))
     stats = counts.groupBy("dst_url").agg(
         F.sum("__n").alias("n_anchor_refs"),
         F.count(F.lit(1)).alias("n_distinct_anchors"))
