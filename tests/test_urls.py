@@ -36,6 +36,33 @@ def test_canonical_golden(canon, url, expected):
     assert canon[url] == expected
 
 
+def test_canonical_is_idempotent(spark):
+    """canon(canon(u)) == canon(u) over a structured grid of ~3k URL
+    shapes. The fixpoint property matters operationally: discovery
+    probes the seen filter on the canonical form and resume replays
+    re-canonicalize already-canonical URLs — a non-idempotent rule
+    would make a replayed row miss its own seen entry."""
+    import itertools
+    schemes = ["http", "HTTPS", "ftp"]
+    hosts = ["Host.Example.ORG", "host", "host:80", "Host:443",
+             "host:8080"]
+    paths = ["", "/", "/A/b", "/a/b/a/b/a", "/%7Euser/x",
+             "/p//q/"]
+    queries = ["", "?utm_source=a", "?id=7&utm_campaign=b",
+               "?b=2&a=1&fbclid=z", "?gclid=1&utm_x=2"]
+    frags = ["", "#frag", "#a/b?c=1"]
+    urls = [f"{s}://{h}{p}{q}{f}"
+            for s, h, p, q, f in itertools.product(
+                schemes, hosts, paths, queries, frags)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    c1 = canonical_url_col(F.col("url"))
+    out = df.select("url", c1.alias("c1"),
+                    canonical_url_col(c1).alias("c2")).collect()
+    bad = [(r["url"], r["c1"], r["c2"]) for r in out
+           if r["c1"] != r["c2"]]
+    assert not bad, bad[:5]
+
+
 def test_url_trap_cols_signals(spark):
     import pyspark.sql.functions as F
 
