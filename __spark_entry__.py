@@ -1475,12 +1475,25 @@ def _stream_dedup_curation(spark, sf_dir):
     root = tempfile.mkdtemp(prefix="ftw_stream_q_")
     delta = os.path.join(root, "in")
     gate = DedupStream(spark, os.path.join(root, "state"), tau=0.6)
-    # one wave per micro-batch, drained before the next lands — pins
-    # the batch order the admission policy is defined over (the same
-    # pattern as test_dedup_stream.test_real_stream_plumbing)
+    # one file per micro-batch (maxFilesPerTrigger=1), BOTH drained by
+    # a single availableNow query — same two ordered micro-batches as
+    # two separate drains (pinned equal by
+    # test_dedup_stream.test_single_drain_matches_two), minus one full
+    # streaming-query startup/teardown. FileStreamSource orders files
+    # by modification time, and back-to-back writes can land within
+    # one clock tick — pin mtimes explicitly so the corpus wave is
+    # always batch 0 (the order the admission policy is defined over).
+    def _parts(d):
+        return {os.path.join(d, f) for f in os.listdir(d)
+                if f.endswith(".parquet")}
     docs.coalesce(1).write.mode("append").parquet(delta)
-    gate.run_available(delta)
+    wave0 = _parts(delta)
     pert.coalesce(1).write.mode("append").parquet(delta)
+    t0 = 1_700_000_000
+    for p in wave0:
+        os.utime(p, (t0, t0))
+    for p in _parts(delta) - wave0:
+        os.utime(p, (t0 + 60, t0 + 60))
     gate.run_available(delta)
 
     admitted = gate.admitted()

@@ -224,7 +224,11 @@ def anchor_text_profile(links: DataFrame, k: int = 3,
 
     Semantics: anchors are normalized (lower-cased, whitespace
     collapsed); empty/whitespace-only anchors and self-links are
-    dropped; ``top_anchors`` is the k most frequent normalized anchors
+    dropped — and so is any row whose src OR dst is NULL (the
+    ``src != dst`` predicate is deliberately null-rejecting: a link
+    with an unknown endpoint cannot be cleared of being a self-link,
+    and the SQL oracle's ``src <> dst`` drops the same rows);
+    ``top_anchors`` is the k most frequent normalized anchors
     as array<struct<anchor,n>> in (count desc, anchor asc) order —
     fully deterministic, no task-order dependence.
 

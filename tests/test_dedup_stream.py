@@ -182,6 +182,38 @@ def test_real_stream_plumbing(spark, tmp_path_factory):
     assert got == _oracle(CHUNKS[:2], ds.n_perm, ds.bands)
 
 
+def test_single_drain_matches_two(spark, tmp_path_factory):
+    """One availableNow drain over BOTH waves (maxFilesPerTrigger=1,
+    mtimes pinned so the file source's modification-time ordering is
+    deterministic) must produce the same two ordered micro-batches —
+    and therefore the same admission set — as draining wave-by-wave.
+    This is the shape the stream_dedup_curation registry query runs
+    (one streaming-query startup instead of two)."""
+    import os
+
+    delta = str(tmp_path_factory.mktemp("dedup_deltas_1d"))
+    state = str(tmp_path_factory.mktemp("dedup_state_1d"))
+    ds = DedupStream(spark, state, tau=TAU)
+
+    def parts():
+        return {os.path.join(delta, f) for f in os.listdir(delta)
+                if f.endswith(".parquet")}
+
+    (spark.createDataFrame(CHUNKS[0], "doc_id long, text string")
+     .coalesce(1).write.mode("append").parquet(delta))
+    wave0 = parts()
+    (spark.createDataFrame(CHUNKS[1], "doc_id long, text string")
+     .coalesce(1).write.mode("append").parquet(delta))
+    t0 = 1_700_000_000
+    for p in wave0:
+        os.utime(p, (t0, t0))
+    for p in parts() - wave0:
+        os.utime(p, (t0 + 60, t0 + 60))
+    ds.run_available(delta)
+    got = {r["doc_id"] for r in ds.admitted().collect()}
+    assert got == _oracle(CHUNKS[:2], ds.n_perm, ds.bands)
+
+
 def test_compaction_preserves_admission(spark, tmp_path_factory):
     """compact_every=2 over the 3-chunk scenario folds mid-stream; the
     admitted set, the state contents, and a subsequent batch's

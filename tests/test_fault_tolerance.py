@@ -53,10 +53,14 @@ def test_crawl_output_invariant_under_task_retries(spark, tiny_world,
                   fault_log=fault_log)
 
     # faults really fired: every extraction stage lost partition 0's
-    # first attempt at least once (several batches => several stages)
+    # first attempt — one DISTINCT stage id per batch's extraction
+    # stage, so injection silently ceasing after batch 1 would fail
+    # here rather than degrade into a clean-vs-clean comparison
     with open(fault_log) as fh:
-        injected = [ln for ln in fh if ln.startswith("stage=")]
-    assert len(injected) >= 1, "no task fault was injected"
+        injected = {ln.strip() for ln in fh if ln.startswith("stage=")}
+    assert len(injected) >= faulty["batches"], (
+        f"expected a fault in every batch's extraction stage "
+        f"({faulty['batches']} batches), got {sorted(injected)}")
 
     # identical run shape despite the retries
     assert faulty["batches"] == clean["batches"]
