@@ -338,31 +338,148 @@ def _events_daily(spark, sf_dir):
     return daily.unionByName(total)
 
 
-@_q("q3_order_revenue", """
-SELECT o.o_orderkey AS orderkey, o.o_orderdate AS orderdate,
-  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
-FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE o.o_orderdate < DATE '1995-03-15' AND l.l_shipdate > DATE '1995-03-15'
-GROUP BY o.o_orderkey, o.o_orderdate
+_WARC_Q_BASE = "https://corpus.example.org/"
+
+
+def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic WARC archives derived from the documents table —
+    one archive per source, whole-file gzip for even-numbered sources
+    (both layouts read by the same parser), built ONCE per scale factor
+    and cached under /tmp (the e2e-world memo pattern). Besides each
+    doc's winning 200 capture (html embedding the doc text, a title,
+    and one relative ``<a href>`` outlink), the archives carry the
+    noise a real Common-Crawl segment has: a warcinfo record (skipped
+    by type), for doc_id % 10 == 0 a STALE earlier capture of the SAME
+    url (must lose the latest-capture dedup), and for doc_id % 13 == 0
+    a 404 capture (must fall to the status gate). Files are written
+    executor-side (applyInPandas per source) — fixture synthesis, not
+    a production sink."""
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/ftw_warc_q_{sfname}"
+    marker = os.path.join(root, "_READY")
+    if os.path.exists(marker):
+        return root
+    import shutil
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 "text")
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        from datetime import timedelta
+
+        from ftw_crawler_spark.sources.warc import (build_http_response,
+                                                    build_warc_record,
+                                                    gzip_deterministic)
+        pdf = pdf.sort_values("doc_id")
+        src = str(pdf["source"].iloc[0])
+        base = datetime(2025, 6, 1)
+        fmt = "%Y-%m-%dT%H:%M:%SZ"
+        recs = [build_warc_record("warcinfo", None,
+                                  b"software: fixture\r\n",
+                                  base.strftime(fmt))]
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            doc_id = int(doc_id)
+            url = f"{_WARC_Q_BASE}{src}/doc-{doc_id}"
+            ts = base + timedelta(seconds=doc_id)
+            if doc_id % 10 == 0:
+                recs.append(build_warc_record(
+                    "response", url,
+                    build_http_response(
+                        b"<html><body><p>stale</p></body></html>"),
+                    (ts - timedelta(hours=1)).strftime(fmt)))
+            html = (f"<html><head><title>D{doc_id}</title></head>"
+                    f'<body><p>{text}</p><a href="doc-{doc_id + 1}#s">'
+                    f"next {doc_id}</a></body></html>").encode("utf-8")
+            recs.append(build_warc_record(
+                "response", url, build_http_response(html),
+                ts.strftime(fmt)))
+            if doc_id % 13 == 0:
+                recs.append(build_warc_record(
+                    "response", f"{url}/err",
+                    build_http_response(b"gone", status=404),
+                    ts.strftime(fmt)))
+        data = b"".join(recs)
+        tail = src[3:]
+        gz = tail.isdigit() and int(tail) % 2 == 0
+        name = f"{src}.warc.gz" if gz else f"{src}.warc"
+        if gz:
+            data = gzip_deterministic(data)
+        tmp = os.path.join(root, f"_tmp_{name}")
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.rename(tmp, os.path.join(root, name))
+        return pd.DataFrame({"source": [src], "n": [len(pdf)]})
+
+    assert (docs.groupBy("source")
+            .applyInPandas(emit, "source string, n long").count()) > 0
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return root
+
+
+@_q("warc_ingest_links", """
+WITH pg AS (
+  SELECT doc_id, source, text,
+    'https://corpus.example.org/'||source||'/doc-'||doc_id AS url,
+    '<html><head><title>D'||doc_id||'</title></head><body><p>'||text||
+      '</p><a href="doc-'||(doc_id+1)||'#s">next '||doc_id||
+      '</a></body></html>' AS h
+  FROM documents)
+SELECT 'page' AS part, url,
+  TIMESTAMP '2025-06-01 00:00:00' + to_seconds(doc_id) AS warc_ts,
+  octet_length(encode(h)) AS n_html_bytes, md5(h) AS html_md5,
+  'D'||doc_id||chr(10)||text||chr(10)||'next '||doc_id AS text,
+  NULL AS dst_url, NULL AS anchor
+FROM pg
+UNION ALL
+SELECT 'link' AS part, url, NULL AS warc_ts, NULL AS n_html_bytes,
+  NULL AS html_md5, NULL AS text,
+  'https://corpus.example.org/'||source||'/doc-'||(doc_id+1) AS dst_url,
+  'next '||doc_id AS anchor
+FROM pg
 """)
-def _q3(spark, sf_dir):
-    """TPC-H Q3 shape: selective join chain — customer dim broadcast,
-    orders⋈lineitem shuffle on orderkey."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    return (li.filter(F.col("l_shipdate") > F.lit("1995-03-15"))
-            .join(o.filter(F.col("o_orderdate") < F.lit("1995-03-15")),
-                  F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-            .groupBy(F.col("o_orderkey").alias("orderkey"),
-                     F.col("o_orderdate").alias("orderdate"))
-            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
-                       * (F.lit(1) - F.col("l_discount")
-                          .cast("decimal(18,2)")))
-                 .cast("double").alias("revenue")))
+def _warc_ingest_links(spark, sf_dir):
+    """WARC ingest → page store → outlink extraction, end to end over
+    real archive BYTES (sources/warc.py:186-254, the Common-Crawl
+    front door) in one tagged relation:
+
+    - 'page' rows: ``read_warc`` (binaryFile per archive, Arrow-batched
+      record parse, both gzip layouts) → ``warc_to_pages`` (status
+      gate, latest-capture-wins url dedup, html_to_text
+      materialization). The oracle restates the WINNING capture per
+      url closed-form — so the stale-capture drop, the 404 drop, the
+      warcinfo/request skip and the text derivation are all
+      hash-checked, byte-compared on html_md5/text.
+    - 'link' rows: ``extract_outlinks`` over those pages (DOM parse,
+      RFC 3986 relative-href resolution, fragment strip) — one
+      closed-form outlink per page.
+
+    The pages relation feeds both parts under different downstream
+    shapes — localCheckpoint(eager=False), the multi-consumer-sketch
+    invariant (the html/text payload is checkpointed ONCE, never
+    re-parsed per consumer)."""
+    from ftw_crawler_spark.operators.linkgraph import extract_outlinks
+    from ftw_crawler_spark.sources.warc import read_warc, warc_to_pages
+
+    root = _warc_fixture(spark, sf_dir)
+    pages = warc_to_pages(read_warc(spark, root)) \
+        .localCheckpoint(eager=False)
+    page_part = pages.select(
+        F.lit("page").alias("part"), "url", "warc_ts",
+        F.length("html").cast("long").alias("n_html_bytes"),
+        F.md5("html").alias("html_md5"), "text",
+        F.lit(None).cast("string").alias("dst_url"),
+        F.lit(None).cast("string").alias("anchor"))
+    link_part = extract_outlinks(pages).select(
+        F.lit("link").alias("part"),
+        F.col("src_url").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("long").alias("n_html_bytes"),
+        F.lit(None).cast("string").alias("html_md5"),
+        F.lit(None).cast("string").alias("text"),
+        "dst_url", "anchor")
+    return page_part.unionByName(link_part)
 
 
 # --- E family: extraction scalars ------------------------------------------

@@ -150,6 +150,41 @@ def parse_warc_bytes(data: bytes, filename: str = "") -> list:
     return out
 
 
+def build_http_response(body: bytes, status: int = 200,
+                        ctype: str = "text/html; charset=utf-8") -> bytes:
+    """Serialize an HTTP response payload in the exact dialect
+    ``_parse_http_payload`` reads back — the write half of the WARC
+    round-trip (fixture synthesis, WARC re-export of a page store)."""
+    head = (f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n")
+    return head.encode("latin-1") + body
+
+
+def build_warc_record(rtype: str, uri: str | None, payload: bytes,
+                      date: str = "2026-01-02T03:04:05Z") -> bytes:
+    """One ISO 28500 record in the subset ``parse_warc_bytes`` handles:
+    version line, named headers (UTF-8), CRLFCRLF, ``Content-Length``
+    payload bytes, two CRLFs. ``uri=None`` omits WARC-Target-URI
+    (warcinfo records)."""
+    head = [b"WARC/1.0", b"WARC-Type: " + rtype.encode("utf-8"),
+            b"WARC-Date: " + date.encode("utf-8"),
+            b"Content-Length: " + str(len(payload)).encode()]
+    if uri is not None:
+        head.insert(2, b"WARC-Target-URI: " + uri.encode("utf-8"))
+    return b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def gzip_deterministic(data: bytes) -> bytes:
+    """Whole-file gzip with mtime pinned to 0 and no FNAME header —
+    byte-reproducible output (plain ``gzip.compress`` stamps the
+    current time into the member header)."""
+    buf = io.BytesIO()
+    with gzip.GzipFile(filename="", mode="wb", fileobj=buf,
+                       mtime=0) as gz:
+        gz.write(data)
+    return buf.getvalue()
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """WARC files at ``path`` (glob ok) → (url, warc_ts, status,
     content_type, html, warc_file). One task per file via binaryFile;

@@ -62,8 +62,7 @@ def test_small_dims_broadcast(spark, entry_mod):
     """Dimension joins (sites/queries/rules) must broadcast, never
     shuffle the big side."""
     qs = entry_mod.queries()
-    for name in ("q3_order_revenue", "robots_gate",
-                 "similarity_cosine_topk"):
+    for name in ("robots_gate", "similarity_cosine_topk"):
         plan = _plan(qs[name](spark, SF_DIR))
         assert ("BroadcastHashJoin" in plan
                 or "BroadcastNestedLoopJoin" in plan), \

@@ -60,6 +60,31 @@ def test_parse_warc_gzip_layouts():
     assert [r[0] for r in rows] == ["http://a/1", "http://a/2"]
 
 
+def test_builders_roundtrip():
+    """The write half (build_warc_record / build_http_response /
+    gzip_deterministic) parses back exactly — the contract the
+    warc_ingest_links registry fixture leans on."""
+    from ftw_crawler_spark.sources.warc import (build_http_response,
+                                                build_warc_record,
+                                                gzip_deterministic)
+    body = "<html><body>bär</body></html>".encode("utf-8")
+    data = (build_warc_record("warcinfo", None, b"software: t\r\n")
+            + build_warc_record("response", "http://u/é",
+                                build_http_response(body, status=200),
+                                date="2025-06-01T00:00:07Z")
+            + build_warc_record("response", "http://u/e2",
+                                build_http_response(b"gone", status=404)))
+    for blob in (data, gzip_deterministic(data)):
+        rows = parse_warc_bytes(blob)
+        assert [(r[0], r[2]) for r in rows] == [
+            ("http://u/é", 200), ("http://u/e2", 404)]
+        assert rows[0][4] == body
+        assert rows[0][1].isoformat() == "2025-06-01T00:00:07"
+        assert rows[0][3] == "text/html"
+    # byte-reproducible gzip (plain gzip.compress stamps wall time)
+    assert gzip_deterministic(data) == gzip_deterministic(data)
+
+
 def test_parse_warc_truncated_tail_keeps_prefix():
     data = _sample_warc() + b"WARC/1.0\r\nWARC-Type: response\r\n" \
         b"Content-Length: 99999\r\n\r\ntruncated"
