@@ -3,11 +3,19 @@
 Images/audio/video ride through the engine as ``binary`` columns with
 a typed metadata struct. The Spark-side plumbing — schema, Arrow batch
 shape, ``mapInPandas`` iterator signature, partitioning — is real and
-tested; the actual codec step is STUBBED (the container has no
-image/audio libraries): ``decode_image`` raises NotImplementedError,
-and ``blob_meta`` computes a deterministic fake "decode" (md5-derived
-dimensions) so the distributed path is exercisable end-to-end and has
-an exact SQL oracle.
+tested. Every stage has two codec modes:
+
+- ``codec="fake"`` (default, the oracle mode): a deterministic
+  md5-derived "decode" exactly reproducible in SQL, so the whole
+  distributed path is hash-checked by the driver
+  (multimodal_meta_wide).
+- ``codec="real"``: ``functions/imagecodec.py`` — a pure-stdlib
+  decoder for PPM-P6 / 24-bit BMP / 8-bit RGB PNG (zlib, all five
+  filters) with nearest-neighbor resize and pixel-statistics
+  features, so blob → decode → resize → feature runs on REAL bytes
+  (pinned by test_imagecodec). JPEG/WebP/audio/video need a library
+  the container lacks — a production deployment swaps PIL/libvips/
+  ffmpeg into the same ``decode_image`` seam.
 
 Scale notes: ``mapInPandas`` streams Arrow batches — no row-at-a-time
 Python, no driver collect; batch size bounded by
@@ -35,12 +43,12 @@ BLOB_META_SCHEMA = T.StructType([
 ])
 
 
-def decode_image(blob: bytes):  # pragma: no cover - stub by design
-    """Real codec hook (PIL/libvips in production). STUB: the sandbox
-    has no image libraries."""
-    raise NotImplementedError(
-        "image decode requires an image library not present in this "
-        "environment; blob_meta() provides the deterministic fake")
+def decode_image(blob: bytes):
+    """Real codec hook: stdlib decoder for PPM/BMP/PNG
+    (functions/imagecodec.py); raises ValueError on formats that need
+    an external library (PIL/libvips swap into this exact seam)."""
+    from ftw_crawler_spark.functions.imagecodec import decode_image as dec
+    return dec(blob)
 
 
 def _fake_decode(blob: bytes) -> tuple:
@@ -54,16 +62,27 @@ def _fake_decode(blob: bytes) -> tuple:
 
 
 def blob_meta(df: DataFrame, blob_col: str = "blob",
-              id_col: str = "doc_id") -> DataFrame:
+              id_col: str = "doc_id", codec: str = "fake") -> DataFrame:
     """Decode-stage plumbing over a binary column: one Arrow batch in,
-    one typed-metadata batch out. (id, n_bytes, width, height, magic)."""
+    one typed-metadata batch out. (id, n_bytes, width, height, magic).
+    ``codec="real"`` decodes actual PPM/BMP/PNG bytes (magic = the
+    sniffed format name); the fake default stays SQL-reproducible."""
     src = df.select(F.col(id_col).cast("long").alias("doc_id"),
                     F.col(blob_col).alias("blob"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec == "real":
+            from ftw_crawler_spark.functions.imagecodec import (
+                decode_image, sniff)
         for pdf in batches:
-            rows = [(int(i), *_fake_decode(bytes(b)))
-                    for i, b in zip(pdf["doc_id"], pdf["blob"])]
+            rows = []
+            for i, b in zip(pdf["doc_id"], pdf["blob"]):
+                blob = bytes(b)
+                if codec == "real":
+                    w, h, _px = decode_image(blob)
+                    rows.append((int(i), len(blob), w, h, sniff(blob)))
+                else:
+                    rows.append((int(i), *_fake_decode(blob)))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "n_bytes", "width", "height",
                                "magic"])
@@ -80,27 +99,41 @@ RESIZE_SCHEMA = T.StructType([
 
 
 def resize_meta(df: DataFrame, target_w: int = 224, target_h: int = 224,
-                blob_col: str = "blob",
-                id_col: str = "doc_id") -> DataFrame:
+                blob_col: str = "blob", id_col: str = "doc_id",
+                codec: str = "fake") -> DataFrame:
     """Resize-stage plumbing: aspect-preserving fit into
-    (target_w, target_h) computed from the fake-decoded dimensions;
-    the "resized pixels" are faked as md5(f"{w}x{h}:" + blob). Real
-    codec swaps into ``decode_image`` + PIL resize; the Spark plan
-    (Arrow batches, no shuffle, typed output) is the real thing."""
+    (target_w, target_h). ``codec="real"`` decodes and ACTUALLY
+    resamples (nearest-neighbor) — resized_hash is the md5 of the
+    resampled RGB bytes; the fake default derives dimensions from the
+    blob hash and fakes the pixels as md5(f"{w}x{h}:" + blob), exactly
+    reproducible in SQL. Same Spark plan either way (Arrow batches, no
+    shuffle, typed output)."""
     src = df.select(F.col(id_col).cast("long").alias("doc_id"),
                     F.col(blob_col).alias("blob"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec == "real":
+            from ftw_crawler_spark.functions.imagecodec import (
+                decode_image, resize_nearest)
         for pdf in batches:
             rows = []
             for i, b in zip(pdf["doc_id"], pdf["blob"]):
                 blob = bytes(b)
-                _n, w, h, _m = _fake_decode(blob)
+                if codec == "real":
+                    img = decode_image(blob)
+                    w, h = img[0], img[1]
+                else:
+                    _n, w, h, _m = _fake_decode(blob)
                 scale = min(target_w / w, target_h / h)
                 ow = max(1, int(w * scale))
                 oh = max(1, int(h * scale))
-                rows.append((int(i), ow, oh, hashlib.md5(
-                    f"{ow}x{oh}:".encode() + blob).hexdigest()))
+                if codec == "real":
+                    digest = hashlib.md5(
+                        resize_nearest(img, ow, oh)[2]).hexdigest()
+                else:
+                    digest = hashlib.md5(
+                        f"{ow}x{oh}:".encode() + blob).hexdigest()
+                rows.append((int(i), ow, oh, digest))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "out_w", "out_h",
                                "resized_hash"])
@@ -118,25 +151,34 @@ FEATURE_SCHEMA = T.StructType([
 
 def feature_extract(df: DataFrame, blob_col: str = "blob",
                     id_col: str = "doc_id",
-                    dim: int = FEATURE_DIM) -> DataFrame:
+                    dim: int = FEATURE_DIM,
+                    codec: str = "fake") -> DataFrame:
     """Feature-extraction plumbing: binary column → fixed-dim embedding
-    vector (array<double>), Arrow-batched, shuffle-free. The "model" is
-    a deterministic fake — component j = md5_long(f"{j}:" + blob)
-    scaled into [0, 1) by 2^60 — exactly reproducible in SQL, so the
-    whole distributed path is oracle-checked. A real encoder swaps in
-    here (ONNX/torch per executor) with the identical plan shape."""
+    vector (array<double>), Arrow-batched, shuffle-free. The fake
+    "model" — component j = md5_long(f"{j}:" + blob) scaled into
+    [0, 1) by 2^60 — is exactly reproducible in SQL, so the whole
+    distributed path is oracle-checked; ``codec="real"`` computes
+    pixel statistics of the DECODED image (imagecodec.pixel_features).
+    A learned encoder swaps in here (ONNX/torch per executor) with the
+    identical plan shape."""
     src = df.select(F.col(id_col).cast("long").alias("doc_id"),
                     F.col(blob_col).alias("blob"))
     denom = float(1 << 60)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec == "real":
+            from ftw_crawler_spark.functions.imagecodec import (
+                decode_image, pixel_features)
         for pdf in batches:
             rows = []
             for i, b in zip(pdf["doc_id"], pdf["blob"]):
                 blob = bytes(b)
-                vec = [int(hashlib.md5(f"{j}:".encode() + blob)
-                           .hexdigest()[:15], 16) / denom
-                       for j in range(dim)]
+                if codec == "real":
+                    vec = pixel_features(decode_image(blob), dim)
+                else:
+                    vec = [int(hashlib.md5(f"{j}:".encode() + blob)
+                               .hexdigest()[:15], 16) / denom
+                           for j in range(dim)]
                 rows.append((int(i), vec))
             yield pd.DataFrame(rows, columns=["doc_id", "feature"])
 
