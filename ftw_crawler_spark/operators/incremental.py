@@ -149,6 +149,24 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
           for c in fingerprint_cols])
 
 
+def change_observations(index_log: DataFrame, url_col: str = "url",
+                        ts_col: str = "modified") -> DataFrame:
+    """Per-url change observations from an index op log
+    (``IndexSink.op_log``): distinct (url, modified) upsert pairs —
+    a re-crawl that re-indexed identical content (same ``modified``)
+    is NOT a change observation, and tombstones carry no modification
+    time. The ``recrawl_schedule`` input the crawl loop's ``--recrawl-
+    from`` gate feeds from a prior run's sink. One distinct shuffle on
+    (url, ts), map-side combined."""
+    return (index_log
+            .filter((~F.col("is_delete"))
+                    & F.col(url_col).isNotNull()
+                    & F.col(ts_col).isNotNull())
+            .select(F.col(url_col).alias("url"),
+                    F.col(ts_col).alias("ts"))
+            .distinct())
+
+
 def recrawl_schedule(changes: DataFrame, entity_col: str = "url",
                      ts_col: str = "ts") -> DataFrame:
     """Adaptive revisit scheduling from an observed change log — the

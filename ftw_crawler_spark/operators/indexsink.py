@@ -247,6 +247,18 @@ class IndexSink:
                              .otherwise(F.lit("upsert")))
                 .drop("is_delete"))
 
+    def op_log(self, include_base: bool = True) -> DataFrame | None:
+        """The FULL committed op log (base snapshot + every delta
+        generation), one row per operation — the change-HISTORY
+        surface, in contrast to ``changes`` which nets to one winning
+        row per UID. This is what feeds the adaptive recrawl
+        scheduler: distinct (url, modified) upsert observations
+        across generations estimate each url's change rate
+        (operators/incremental.change_observations →
+        recrawl_schedule). Same snapshot-expiry caveat as ``as_of``:
+        history reaches back to the last compaction."""
+        return self._read_log(include_base=include_base)
+
     def history(self) -> list[dict]:
         """Committed generations (Iceberg ``snapshots`` metadata-table
         analog): [{'batch_id', 'kind'}] in commit order, plus the base

@@ -175,17 +175,69 @@ def build_url_bloom(df: DataFrame, url_col: str = "url",
     OR-merge compatible with an existing filter (incremental per-batch
     deltas, streaming/frontier_stream.py)."""
     shape = _resolve_shape(df, expected_items, fpp, shape, n_shards)
+    parts = _shard_build_plan(df, url_col, shape).collect()
+    return assemble_bloom_bytes(
+        [(row["s"], row["bits"]) for row in parts], shape)
+
+
+def assemble_bloom_bytes(shard_rows: list, shape: tuple) -> bytes | None:
+    """Collected (s, bits) shard rows → the serialized byte-form filter
+    (the driver-side tail of ``build_url_bloom``, shared with callers
+    that collected the shard rows inside a larger fused job)."""
     n_bits, k, n_shards = shape
     shard_bytes = n_bits // 8
-    parts = _shard_build_plan(df, url_col, shape).collect()
-    if not parts:
+    if not shard_rows:
         return None
     merged = np.zeros(shard_bytes * n_shards, dtype=np.uint8)
-    for row in parts:
-        off = row["s"] * shard_bytes
-        merged[off:off + shard_bytes] |= np.frombuffer(row["bits"],
+    for s, bits in shard_rows:
+        off = s * shard_bytes
+        merged[off:off + shard_bytes] |= np.frombuffer(bits,
                                                        dtype=np.uint8)
     return _MAGIC + _HEADER.pack(n_bits, k, n_shards) + merged.tobytes()
+
+
+def fused_delta_counts_plan(df: DataFrame, url_col: str, shape: tuple,
+                            ok_col: str) -> DataFrame:
+    """ONE Arrow pass emitting a bloom delta's shard rows AND row
+    counts: per input partition, (s, bits) rows for the shards it saw
+    plus one counts row (s = -1) carrying (n total, n with ``ok_col``
+    NULL). Callers that already pay a driver round-trip for the counts
+    (the crawl's link-discovery admission job) fold the seen-filter
+    delta build into it instead of running a second job.
+
+    Bit math is ``_positions`` verbatim, so
+    ``assemble_bloom_bytes(shard rows)`` is byte-identical to
+    ``build_url_bloom(df)`` at the same shape (OR is commutative —
+    ``_shard_build_plan``'s co-locating repartition exists to bound
+    task memory on the RELATION form, which never drives through this
+    collected path; pinned by test_seen's fused-equivalence test)."""
+    n_bits, k, n_shards = shape
+    shard_bytes = n_bits // 8
+    src = df.select(*_hash_cols(url_col, n_shards),
+                    F.col(ok_col).isNull().cast("int").alias("__ok"))
+
+    def gen(pdfs):
+        shards: dict[int, np.ndarray] = {}
+        n = ok = 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            ok += int(pdf["__ok"].sum())
+            for s_val, grp in pdf.groupby("s"):
+                bits = shards.setdefault(
+                    int(s_val), np.zeros(shard_bytes, dtype=np.uint8))
+                idx = _positions(grp["h1"].to_numpy(dtype=np.int64),
+                                 grp["h2"].to_numpy(dtype=np.int64),
+                                 k, n_bits).ravel()
+                np.bitwise_or.at(bits, idx >> 3,
+                                 np.uint8(1) << (idx & 7).astype(np.uint8))
+        rows = [(s_val, bits.tobytes(), None, None)
+                for s_val, bits in shards.items()]
+        rows.append((-1, None, n, ok))
+        yield pd.DataFrame(rows, columns=["s", "bits", "n", "ok"])
+
+    return src.mapInPandas(gen, "s int, bits binary, n long, ok long")
 
 
 def build_url_bloom_relation(df: DataFrame, url_col: str = "url",
@@ -421,6 +473,23 @@ class IncrementalUrlFilter:
                                               shape=self.shape)
             self._rel = rel.localCheckpoint(eager=True)
             self._bytes = None
+
+    @property
+    def is_broadcastable(self) -> bool:
+        """True when the filter serves as driver bytes (the small-
+        filter form) — the form whose per-batch ``add`` would collect
+        a delta job of its own, and therefore the form where callers
+        should prefer ``fused_delta_counts_plan`` + ``add_bytes``."""
+        return self._broadcastable
+
+    def add_bytes(self, delta_bytes: bytes | None) -> None:
+        """Merge a delta already collected by the caller (byte form
+        from ``assemble_bloom_bytes`` over ``fused_delta_counts_plan``
+        shard rows at THIS filter's shape) — zero Spark jobs. Only
+        valid in the broadcast serving form."""
+        assert self._broadcastable, \
+            "add_bytes is the small-filter path; relation form uses add"
+        self._bytes = merge_blooms(self._bytes, delta_bytes)
 
     def add(self, df: DataFrame, url_col: str = "url") -> None:
         """OR-merge one batch's urls into the filter: O(batch) delta

@@ -142,29 +142,28 @@ def lsh_codes(df: DataFrame, n_planes: int = DEFAULT_PLANES,
 
 def _lloyd(corpus: DataFrame, n_centroids: int, n_iter: int,
            id_col: str, vec_col: str):
-    """Shared Lloyd's loop: returns (vecs, assign_fn, cents) where
-    ``cents`` is the final [(cid, vector)] list (K·dim doubles — the
-    only thing the driver ever collects per iteration)."""
-    # checkpoint once: Lloyd's runs n_iter+1 actions over this relation
-    # (one assign-and-mean per iteration plus the final assignment) —
-    # without the checkpoint each action re-reads the corpus and
-    # re-runs the interpreted norm fold
+    """Shared Lloyd's loop, fully IN-PLAN: returns (vecs, assign_fn,
+    cents) where ``cents`` is the final (cid int, c array<double>)
+    RELATION — the whole n_iter chain evaluates inside the caller's
+    single action, with the tiny per-iteration centroid relations
+    riding broadcast exchanges (the same in-plan-iteration shape as
+    linkgraph.pagerank's rounds). The previous form collected K·dim
+    doubles to the driver per iteration, which made every Lloyd
+    consumer pay n_iter+1 serial driver round-trips — measured as the
+    dominant cost of the kmeans/ivf queries at sandbox job latency
+    (BENCH_r04 audit; values bit-identical either way because the
+    collect round-tripped exact IEEE doubles)."""
+    # lazy-checkpoint once: the chain references this relation in
+    # every iteration plus the final assignment — without it each
+    # occurrence re-reads the corpus and re-runs the interpreted
+    # norm fold
     vecs = (corpus.select(F.col(id_col).alias("vid"),
                           _as_double(F.col(vec_col)).alias("v"))
             .withColumn("n2", _dot(F.col("v"), F.col("v")))
             .localCheckpoint(eager=False))
-    spark = corpus.sparkSession
 
-    cents = sorted(
-        (int(r["vid"]), [float(x) for x in r["v"]])
-        for r in vecs.filter(F.col("vid") < n_centroids)
-        .select("vid", "v").collect())
-
-    def assign(cent_rows):
-        cdf = spark.createDataFrame(
-            [(cid, v) for cid, v in cent_rows],
-            "cid int, c array<double>").withColumn(
-                "c2", _dot(F.col("c"), F.col("c")))
+    def assign(cents_df):
+        cdf = cents_df.withColumn("c2", _dot(F.col("c"), F.col("c")))
         d2 = (F.col("n2") - 2.0 * _dot(F.col("v"), F.col("c"))
               + F.col("c2"))
         # argmin as a map-side-combinable min-struct aggregation — a
@@ -181,11 +180,15 @@ def _lloyd(corpus: DataFrame, n_centroids: int, n_iter: int,
                         F.col("__b.v").alias("v"),
                         F.col("__b.__d2").alias("__d2")))
 
+    cents = vecs.filter(F.col("vid") < n_centroids).select(
+        F.col("vid").cast("int").alias("cid"), F.col("v").alias("c"))
     for _ in range(n_iter):
         assigned = assign(cents)
         comp = assigned.select(
             "cid", F.posexplode("v").alias("j", "x"))
-        means = (comp.groupBy("cid", "j")
+        # centroids that lost every member drop out of the groupBy
+        # naturally (same policy as the SQL oracle's empty groups)
+        cents = (comp.groupBy("cid", "j")
                  .agg((F.sum(F.col("x").cast("decimal(28,12)"))
                        .cast("double")
                        / F.count(F.lit(1))).alias("m"))
@@ -193,11 +196,12 @@ def _lloyd(corpus: DataFrame, n_centroids: int, n_iter: int,
                  .agg(F.array_sort(F.collect_list(
                      F.struct("j", "m"))).alias("jm"))
                  .select("cid", F.col("jm.m").alias("c")))
-        # centroids that lost every member drop out (same policy as
-        # the SQL oracle's empty groups)
-        cents = sorted((int(r["cid"]), [float(x) for x in r["c"]])
-                       for r in means.collect())
-
+    if n_iter:
+        # the final centroid relation is consumed more than once
+        # (ivf_ann broadcasts it for lists AND probes) — checkpoint so
+        # the Lloyd chain is never re-run per consumer (the
+        # multi-consumer-sketch invariant)
+        cents = cents.localCheckpoint(eager=False)
     return vecs, assign, cents
 
 
@@ -234,11 +238,11 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 4,
                      vec_col: str = "embedding") -> DataFrame:
     """The refined centroid TABLE (cid, c) — the piece ``ivf_ann``
     consumes (``centroids=``); same deterministic Lloyd's loop as
-    ``kmeans_refine``."""
-    spark = corpus.sparkSession
+    ``kmeans_refine``. Returned LAZY (checkpointed relation): nothing
+    runs until the consumer's action, so kmeans→ivf composes into one
+    job."""
     _, _, cents = _lloyd(corpus, n_centroids, n_iter, id_col, vec_col)
-    return spark.createDataFrame([(cid, v) for cid, v in cents],
-                                 "cid int, c array<double>")
+    return cents
 
 
 def ivf_ann(corpus: DataFrame, query_ids, k: int = 5,

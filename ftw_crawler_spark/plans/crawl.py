@@ -156,7 +156,8 @@ def _annotate_frontier(frontier: DataFrame, world: dict,
                        sites_dim: DataFrame, force: bool,
                        expected_indexed: int | None = None,
                        index_filter: "seen.IncrementalUrlFilter | None"
-                       = None) -> DataFrame:
+                       = None,
+                       not_due: DataFrame | None = None) -> DataFrame:
     """Steps F3/F4/F7/F8 as one narrow-column pass; html untouched.
 
     ``expected_indexed`` sizes the seen bloom filter without a count
@@ -166,7 +167,12 @@ def _annotate_frontier(frontier: DataFrame, world: dict,
     index snapshot (link discovery, every batch) or that can overlap
     the build with other plan-phase jobs pass one instead of paying a
     fresh O(index) filter build per call. The filter is a PRE-filter
-    over the same url set, so results are bit-identical either way."""
+    over the same url set, so results are bit-identical either way.
+    ``not_due``: optional (loc) relation of urls the adaptive recrawl
+    scheduler says are not yet due — they skip with 'not_due' BEFORE
+    any fetch-dependent gate (the whole point: a not-due url costs no
+    page-store touch). None (the default) adds no join and no column —
+    plan bit-identical to the ungated path."""
     pages_meta = world["pages"].select(F.col("url").alias("loc"),
                                        "warc_ts")
     fs = world["fetch_status"].select(
@@ -175,6 +181,11 @@ def _annotate_frontier(frontier: DataFrame, world: dict,
 
     df = frontier.join(pages_meta, "loc", "left")
     df = df.join(fs, "loc", "left")
+    if not_due is not None:
+        # one url-keyed shuffle join against a narrow (loc) relation —
+        # the same scale class as the F3 last-indexed join
+        df = df.join(not_due.select(
+            "loc", F.lit(True).alias("__not_due")), "loc", "left")
     df = df.withColumn("status", F.coalesce(F.col("status"), F.lit(200)))
     df = df.withColumn("n_429", F.coalesce(F.col("n_429"), F.lit(0)))
 
@@ -207,22 +218,26 @@ def _annotate_frontier(frontier: DataFrame, world: dict,
 
     modified = is_modified_col(force)
     page_found = F.col("warc_ts").isNotNull()
-    skip = (
-        F.when(~F.col("robots_allowed"),
-               F.lit("robots_disallowed"))                 # RFC 9309 gate
-        .when(~modified, F.lit("not_modified"))            # fetcher.py:50-51
-        .when(F.col("status").between(300, 399),
-              F.lit("redirect"))                           # fetcher.py:54-58
-        .when((F.col("status") != 200) | ~page_found,
-              F.lit("fetch_error")))                       # fetcher.py:68-70
-    return df.withColumn("skip_reason", skip)
+    skip = F.when(~F.col("robots_allowed"),
+                  F.lit("robots_disallowed"))              # RFC 9309 gate
+    if not_due is not None:
+        # adaptive recrawl gate (Cho & Garcia-Molina rate estimate):
+        # after compliance, before every fetch-dependent gate
+        skip = skip.when(F.col("__not_due"), F.lit("not_due"))
+    skip = (skip
+            .when(~modified, F.lit("not_modified"))        # fetcher.py:50-51
+            .when(F.col("status").between(300, 399),
+                  F.lit("redirect"))                       # fetcher.py:54-58
+            .when((F.col("status") != 200) | ~page_found,
+                  F.lit("fetch_error")))                   # fetcher.py:68-70
+    return df.withColumn("skip_reason", skip).drop("__not_due")
 
 
 def _annotate_discovered(cand: DataFrame, world: dict,
                          sites_dim: DataFrame, host_dim: DataFrame,
                          force: bool,
-                         index_filter: "seen.IncrementalUrlFilter"
-                         ) -> DataFrame:
+                         index_filter: "seen.IncrementalUrlFilter",
+                         not_due: DataFrame | None = None) -> DataFrame:
     """Link-discovered candidates (loc, n_refs) → annotated frontier
     rows, shaped exactly like sitemap rows so they union into
     ``remaining`` and ride the same politeness/extraction path:
@@ -271,7 +286,8 @@ def _annotate_discovered(cand: DataFrame, world: dict,
         "host", "crawl_seq")
     return _annotate_frontier(frontier, world, world["index0"],
                               sites_dim, force,
-                              index_filter=index_filter)
+                              index_filter=index_filter,
+                              not_due=not_due)
 
 
 def _batch_resources(batch: DataFrame, world: dict,
@@ -321,7 +337,8 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
               compact_every: int | None = 16,
               compact_delta_frac: float | None = 0.5,
               compact_min_bytes: int = 256 << 20,
-              follow_links: bool = False) -> CrawlResult:
+              follow_links: bool = False,
+              recrawl_from: str | None = None) -> CrawlResult:
     """``follow_links`` turns on link-following frontier discovery (the
     north rule's priority queue actually GROWING from discovered
     anchors — the sitemap-driven reference never follows links): each
@@ -336,9 +353,49 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
     replays them exactly. Purge membership stays sitemap-only
     (reference semantics): a later run purges link-discovered docs
     unless they joined a sitemap. Single-URL mode (``url=``) disables
-    discovery — F1/F2 semantics pin the run to exactly that URL."""
+    discovery — F1/F2 semantics pin the run to exactly that URL.
+
+    ``recrawl_from`` (the adaptive-recrawl gate, CLI --recrawl-from):
+    path to a PRIOR run's index root. Its op log (base + deltas —
+    ``IndexSink.op_log``, the CDC change-history surface) feeds
+    ``recrawl_schedule`` (Cho & Garcia-Molina uniform-rate revisit
+    estimation); frontier urls whose ``next_due_epoch`` is after this
+    run's ``crawl_time`` skip with 'not_due' before any fetch-dependent
+    gate. Urls without an observed change RATE (fewer than two distinct
+    (url, modified) observations) are never gated — the scheduler only
+    ever defers what it has evidence about, so an empty/rate-free
+    history makes the gated run bit-identical to the ungated one
+    (pinned by test_recrawl_gate). History reaches back to the prior
+    sink's last compaction (snapshot-expiry semantics, as documented
+    on ``as_of``) — beyond it, urls simply lose observations and fall
+    back to always-due, never the other way around."""
     sites = sites if sites is not None else default_sites()
     config = config or cfg.default_config()
+
+    def _build_not_due(ct: datetime) -> DataFrame | None:
+        """(loc) relation of not-yet-due urls per the prior sink's
+        change history; None when the gate is off or the prior sink is
+        empty. Narrow (url-only) relation; lazily checkpointed because
+        fresh-plus-discovery paths consume it repeatedly under
+        different partitionings (the multi-consumer-sketch invariant).
+        Epochs are UTC (calendar.timegm) to match Spark's
+        unix_timestamp under the session's UTC timezone."""
+        if not recrawl_from:
+            return None
+        import calendar
+
+        from ftw_crawler_spark.operators.incremental import (
+            change_observations, recrawl_schedule)
+        prior = IndexSink(spark, recrawl_from, read_only=True)
+        log = prior.op_log()
+        if log is None:
+            return None
+        now_epoch = calendar.timegm(ct.utctimetuple())
+        sched = recrawl_schedule(change_observations(log),
+                                 entity_col="url", ts_col="ts")
+        return (sched.filter(F.col("next_due_epoch") > F.lit(now_epoch))
+                .select(F.col("url").alias("loc"))
+                .localCheckpoint(eager=False))
     # background writers (checkpoint / purge / schedule-prefetch): kept
     # at function scope so the error paths below can join whatever is
     # outstanding — a daemon writer must never race interpreter
@@ -391,6 +448,10 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
             with open(meta_path) as fh:
                 meta = json.load(fh)
             crawl_time = datetime.fromisoformat(meta["crawl_time"])
+            # the gate relation is rebuilt on resume from the same
+            # prior sink + the SAME pinned crawl_time, so discovered-
+            # candidate annotation replays exactly
+            not_due = _build_not_due(crawl_time)
             last = committed[-1]
             remaining, host_state, last_full = _resume_state(
                 spark, ckpt_root, committed)
@@ -447,6 +508,7 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                 n_enqueued = enqueued.count()
         else:
             crawl_time = crawl_time or DEFAULT_CRAWL_TIME
+            not_due = _build_not_due(crawl_time)
             with open(meta_path, "w") as fh:
                 json.dump({"crawl_time": crawl_time.isoformat(),
                            "metrics": []}, fh)
@@ -509,7 +571,8 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
             idx_filter = idx_filter_task.join()
             annotated = _annotate_frontier(
                 frontier, world, spark.read.parquet(sink.base_path), sdf,
-                force, index_filter=idx_filter).persist()
+                force, index_filter=idx_filter,
+                not_due=not_due).persist()
             to_crawl = annotated.filter(F.col("skip_reason").isNull())
 
             # materialize the frontier ONCE executor-side (this scan also
@@ -680,13 +743,45 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                     # cost at sandbox scale, BASELINE.md)
                     ann = _annotate_discovered(
                         cand, world, sdf, host_dim, force,
-                        index_filter=_index0_filter()).localCheckpoint(
+                        index_filter=_index0_filter(),
+                        not_due=not_due).localCheckpoint(
                             eager=False)
-                    counts = ann.agg(
-                        F.count(F.lit(1)).alias("n"),
-                        F.count(F.when(F.col("skip_reason").isNull(),
-                                       F.lit(1))).alias("ok")).collect()
-                    n_new, n_disc = counts[0]["n"], counts[0]["ok"]
+                    if url_filter.is_broadcastable:
+                        # FUSED admission job (small-filter serving
+                        # form): the counts aggregation and the
+                        # enqueued-filter bloom delta come out of ONE
+                        # Arrow pass/action — the delta build was a
+                        # whole second driver job per discovering
+                        # batch (A/B in BASELINE.md follow-links
+                        # notes); add_bytes then merges driver-side
+                        # with zero jobs, bit-identical to add()
+                        rows = seenmod.fused_delta_counts_plan(
+                            ann.withColumn(
+                                "__curl",
+                                canonical_url_col(F.col("loc"))),
+                            "__curl", url_filter.shape,
+                            "skip_reason").collect()
+                        n_new = sum(r["n"] for r in rows
+                                    if r["s"] == -1)
+                        n_disc = sum(r["ok"] for r in rows
+                                     if r["s"] == -1)
+                        if n_new:
+                            url_filter.add_bytes(
+                                seenmod.assemble_bloom_bytes(
+                                    [(r["s"], r["bits"]) for r in rows
+                                     if r["s"] >= 0], url_filter.shape))
+                    else:
+                        # relation form: the delta never exists as
+                        # driver bytes — keep the two-action path
+                        counts = ann.agg(
+                            F.count(F.lit(1)).alias("n"),
+                            F.count(F.when(
+                                F.col("skip_reason").isNull(),
+                                F.lit(1))).alias("ok")).collect()
+                        n_new, n_disc = counts[0]["n"], counts[0]["ok"]
+                        if n_new:
+                            # O(batch) delta into the incremental filter
+                            url_filter.add(_canon_urls(ann), "url")
                     if n_new:
                         # lazy union of two checkpointed relations — no
                         # frontier-sized copy per batch; periodic eager
@@ -696,8 +791,6 @@ def run_crawl(spark: SparkSession, world_dir: str, out_dir: str,
                         if enq_segments[0] >= ckpt_full_every:
                             enq = enq.localCheckpoint(eager=True)
                             enq_segments[0] = 0
-                        # O(batch) delta into the incremental filter
-                        url_filter.add(_canon_urls(ann), "url")
                     if n_disc:
                         # a plain filter over ann's checkpointed blocks
                         # — no checkpoint of its own (that was a whole

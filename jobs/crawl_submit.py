@@ -65,6 +65,13 @@ def main(argv: list[str] | None = None) -> int:
                         "which are canonicalized, trap-gated, scoped to "
                         "the configured hosts, seen-filtered, and "
                         "enqueued with n_refs as the priority signal")
+    p.add_argument("--recrawl-from", default=None, metavar="INDEX_DIR",
+                   help="adaptive recrawl gate: a PRIOR run's index "
+                        "root whose op log (CDC change history) feeds "
+                        "recrawl_schedule; frontier urls not yet due "
+                        "(next_due_epoch > crawl-time) skip with "
+                        "'not_due' before any fetch. Urls without an "
+                        "observed change rate are never gated")
     p.add_argument("--warc-dir", default=None,
                    help="ingest WARC archives (Common Crawl layout) "
                         "from this path into the world's page store "
@@ -163,7 +170,8 @@ def main(argv: list[str] | None = None) -> int:
         pages_table=args.pages_table,
         ckpt_full_every=args.ckpt_full_every,
         compact_every=args.compact_every or None,
-        follow_links=args.follow_links)
+        follow_links=args.follow_links,
+        recrawl_from=args.recrawl_from)
     n_indexed = result.index().count()
     print(json.dumps({"batches": result.batches,
                       "indexed_rows": n_indexed,

@@ -224,3 +224,33 @@ def test_incremental_url_filter_both_forms(spark, urls, monkeypatch):
     fresh_in_new = len(set(new_b) & fresh)
     assert fresh_in_new >= len(fresh) - 12, (fresh_in_new, len(fresh))
     assert len(new_b) + len(cand_b) == probe.count()
+
+
+def test_fused_delta_counts_matches_direct_build(spark, urls):
+    """fused_delta_counts_plan + assemble_bloom_bytes must be
+    byte-identical to build_url_bloom at the same shape, and its
+    counts row must equal the separate aggregation — the contract the
+    crawl's fused link-discovery admission job relies on."""
+    flagged = urls.withColumn(
+        "skip_reason",
+        F.when(F.col("url").endswith("7"), F.lit("x")))
+    shape = seen._resolve_shape(urls, 4000, 0.03, None, None)
+    rows = seen.fused_delta_counts_plan(
+        flagged, "url", shape, "skip_reason").collect()
+    fused_bytes = seen.assemble_bloom_bytes(
+        [(r["s"], r["bits"]) for r in rows if r["s"] >= 0], shape)
+    direct = seen.build_url_bloom(urls, "url", shape=shape)
+    assert fused_bytes == direct
+    n = sum(r["n"] for r in rows if r["s"] == -1)
+    ok = sum(r["ok"] for r in rows if r["s"] == -1)
+    assert n == 2000
+    assert ok == flagged.filter(F.col("skip_reason").isNull()).count()
+    # merging the fused delta == the incremental filter's own add()
+    a = seen.IncrementalUrlFilter(urls.limit(500), "url",
+                                  expected_items=4000)
+    b = seen.IncrementalUrlFilter(urls.limit(500), "url",
+                                  expected_items=4000)
+    assert a.shape == shape and a.is_broadcastable
+    a.add(urls, "url")
+    b.add_bytes(fused_bytes)
+    assert a._bytes == b._bytes
