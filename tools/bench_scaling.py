@@ -61,6 +61,14 @@ def run_level(cpus: int, n_urls: int, mode: str) -> dict:
         "SPARK_GRAFT_BENCH_ONLY": mode,
         "SPARK_GRAFT_N_URLS": str(n_urls),
     })
+    # bench.py's contention probe is a FIXED all-core job whose clean
+    # floor was calibrated on local[32]; at narrower levels the same
+    # job runs ~(32/cpus)x longer, so scale the floor or the gate
+    # would never read clean and every crawl rep would exhaust its
+    # wait budget. (The steady_state phase never waits — this only
+    # affects the transparency-only pipeline phase.)
+    env.setdefault("SPARK_GRAFT_PROBE_CLEAN",
+                   str(round(1.20 * 32.0 / cpus, 2)))
     if mode == "extract":
         # isolate CPU scaling from the rig's single disk: RAM-backed
         # shuffle dirs + sink-boundary measurement (see
