@@ -2593,14 +2593,25 @@ fit AS (
                                     224.0 / height))::BIGINT) AS out_w,
     greatest(1, floor(height * least(224.0 / width,
                                      224.0 / height))::BIGINT) AS out_h
-  FROM meta)
+  FROM meta),
+ameta AS (
+  SELECT doc_id,
+    8000 * (1 + ('0x'||substr(md5('r:'||text),1,15))::BIGINT % 6)
+      AS sample_rate,
+    1 + ('0x'||substr(md5('c:'||text),1,15))::BIGINT % 2 AS n_channels,
+    1 + ('0x'||substr(md5('n:'||text),1,15))::BIGINT % 48000 AS n_samples
+  FROM documents)
 SELECT m.doc_id, j,
   ('0x'||substr(md5(j || ':' || text),1,15))::BIGINT
     / 1152921504606846976.0 AS component,
   n_bytes, width, height, magic, out_w, out_h,
   md5(out_w || 'x' || out_h || ':' || text) AS resized_hash,
-  CASE WHEN j < 3 THEN md5(j || ':' || text) END AS frame_hash
-FROM meta m JOIN fit USING (doc_id), (SELECT unnest(range(0, 8)) AS j)
+  CASE WHEN j < 3 THEN md5(j || ':' || text) END AS frame_hash,
+  sample_rate, n_channels, n_samples,
+  CASE WHEN j < 2 THEN md5('w' || j || ':' || text) END
+    AS audio_window_hash
+FROM meta m JOIN fit USING (doc_id) JOIN ameta USING (doc_id),
+  (SELECT unnest(range(0, 8)) AS j)
 """)
 def _multimodal_meta(spark, sf_dir):
     """Multimodal decode + resize + feature-extract plumbing in one
@@ -2619,7 +2630,12 @@ def _multimodal_meta(spark, sf_dir):
       n_frames rows via mapInPandas (Arrow batches, no shuffle),
       left-joined back on (doc_id, j == frame_idx) so each wide row
       j < 3 carries its frame_hash (folded in from the former
-      multimodal_frame_sample query for the roster cap).
+      multimodal_frame_sample query for the roster cap);
+    - audio_meta + audio_windows: the audio leg's decode plumbing
+      (sample_rate, n_channels, n_samples) and window sampling
+      (j < 2 carries audio_window_hash) — same mapInPandas shape; the
+      real-WAV codec path (functions/audiocodec.py) is pinned by
+      test_audiocodec against a row-wise oracle.
 
     The codec is a deterministic fake (sandbox has no image libs —
     multimodal.decode_image is the honest NotImplementedError hook);
@@ -2639,8 +2655,15 @@ def _multimodal_meta(spark, sf_dir):
     frames = (multimodal.frame_sample(docs, n_frames=3)
               .select("doc_id", F.col("frame_idx").cast("long").alias("j"),
                       "frame_hash"))
+    ameta = multimodal.audio_meta(docs).select(
+        "doc_id", "sample_rate", "n_channels", "n_samples")
+    awin = (multimodal.audio_windows(docs, n_windows=2)
+            .select("doc_id", F.col("window_idx").cast("long").alias("j"),
+                    F.col("window_hash").alias("audio_window_hash")))
     return (comp.join(meta, "doc_id").join(fit, "doc_id")
-            .join(frames, ["doc_id", "j"], "left"))
+            .join(frames, ["doc_id", "j"], "left")
+            .join(ameta, "doc_id")
+            .join(awin, ["doc_id", "j"], "left"))
 
 
 # --- crawl end-to-end (rows-only) ------------------------------------------

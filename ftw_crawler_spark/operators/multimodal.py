@@ -13,9 +13,12 @@ tested. Every stage has two codec modes:
   decoder for PPM-P6 / 24-bit BMP / 8-bit RGB PNG (zlib, all five
   filters) with nearest-neighbor resize and pixel-statistics
   features, so blob → decode → resize → feature runs on REAL bytes
-  (pinned by test_imagecodec). JPEG/WebP/audio/video need a library
-  the container lacks — a production deployment swaps PIL/libvips/
-  ffmpeg into the same ``decode_image`` seam.
+  (pinned by test_imagecodec) — and ``functions/audiocodec.py`` for
+  the audio stages (PCM s16 WAV decode, zero-order-hold resample,
+  frame windows, sample-statistics features; pinned by
+  test_audiocodec). JPEG/WebP/MP3/video need a library the container
+  lacks — a production deployment swaps PIL/libvips/ffmpeg into the
+  same ``decode_image`` / ``decode_audio`` seams.
 
 Scale notes: ``mapInPandas`` streams Arrow batches — no row-at-a-time
 Python, no driver collect; batch size bounded by
@@ -177,6 +180,131 @@ def feature_extract(df: DataFrame, blob_col: str = "blob",
                     vec = pixel_features(decode_image(blob), dim)
                 else:
                     vec = [int(hashlib.md5(f"{j}:".encode() + blob)
+                               .hexdigest()[:15], 16) / denom
+                           for j in range(dim)]
+                rows.append((int(i), vec))
+            yield pd.DataFrame(rows, columns=["doc_id", "feature"])
+
+    return src.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+AUDIO_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("n_channels", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("magic", T.StringType()),
+])
+
+
+def _fake_audio_decode(blob: bytes) -> tuple:
+    """Deterministic stand-in for audio decode: md5-derived stream
+    parameters, exactly reproducible in SQL (same convention as
+    ``_fake_decode``)."""
+    r = int(hashlib.md5(b"r:" + blob).hexdigest()[:15], 16)
+    c = int(hashlib.md5(b"c:" + blob).hexdigest()[:15], 16)
+    n = int(hashlib.md5(b"n:" + blob).hexdigest()[:15], 16)
+    return (len(blob), 8000 * (1 + r % 6), 1 + c % 2, 1 + n % 48000,
+            hashlib.md5(b"a:" + blob).hexdigest()[:8])
+
+
+def audio_meta(df: DataFrame, blob_col: str = "blob",
+               id_col: str = "doc_id", codec: str = "fake") -> DataFrame:
+    """Audio decode-stage plumbing over a binary column — the audio
+    twin of ``blob_meta``: (id, n_bytes, sample_rate, n_channels,
+    n_samples, magic). ``codec="real"`` parses actual RIFF/WAV PCM
+    streams (functions/audiocodec.py); the fake default stays
+    SQL-reproducible."""
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.col(blob_col).alias("blob"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec == "real":
+            from ftw_crawler_spark.functions.audiocodec import (
+                decode_audio, n_frames, sniff_audio)
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf["doc_id"], pdf["blob"]):
+                blob = bytes(b)
+                if codec == "real":
+                    audio = decode_audio(blob)
+                    rows.append((int(i), len(blob), audio[0], audio[1],
+                                 n_frames(audio), sniff_audio(blob)))
+                else:
+                    rows.append((int(i), *_fake_audio_decode(blob)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "sample_rate",
+                               "n_channels", "n_samples", "magic"])
+
+    return src.mapInPandas(run, schema=AUDIO_META_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("window_idx", T.LongType()),
+    T.StructField("window_hash", T.StringType()),
+])
+
+
+def audio_windows(df: DataFrame, n_windows: int = 2,
+                  blob_col: str = "blob", id_col: str = "doc_id",
+                  codec: str = "fake") -> DataFrame:
+    """Audio window sampling (1 row in → n_windows rows out) — the
+    audio twin of ``frame_sample``. ``codec="real"`` hashes the
+    decoded stream's contiguous near-equal frame windows
+    (audiocodec.window_slices); the fake default hashes
+    md5(f"w{k}:" + blob), exactly reproducible in SQL."""
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.col(blob_col).alias("blob"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec == "real":
+            from ftw_crawler_spark.functions.audiocodec import (
+                decode_audio, window_slices)
+        for pdf in batches:
+            out = []
+            for i, b in zip(pdf["doc_id"], pdf["blob"]):
+                blob = bytes(b)
+                if codec == "real":
+                    wins = window_slices(decode_audio(blob), n_windows)
+                    for k, pcm in enumerate(wins):
+                        out.append((int(i), k,
+                                    hashlib.md5(pcm).hexdigest()))
+                else:
+                    for k in range(n_windows):
+                        out.append((int(i), k, hashlib.md5(
+                            f"w{k}:".encode() + blob).hexdigest()))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "window_idx", "window_hash"])
+
+    return src.mapInPandas(run, schema=AUDIO_WINDOW_SCHEMA)
+
+
+def audio_feature_extract(df: DataFrame, blob_col: str = "blob",
+                          id_col: str = "doc_id", dim: int = FEATURE_DIM,
+                          codec: str = "fake") -> DataFrame:
+    """Audio feature plumbing: binary → fixed-dim array<double>, same
+    Arrow-batched shuffle-free plan as ``feature_extract``. The fake
+    "model" — component j = md5_long(f"a{j}:" + blob) / 2^60 — is
+    SQL-reproducible; ``codec="real"`` computes sample statistics of
+    the DECODED stream (audiocodec.audio_features)."""
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.col(blob_col).alias("blob"))
+    denom = float(1 << 60)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec == "real":
+            from ftw_crawler_spark.functions.audiocodec import (
+                audio_features, decode_audio)
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf["doc_id"], pdf["blob"]):
+                blob = bytes(b)
+                if codec == "real":
+                    vec = audio_features(decode_audio(blob), dim)
+                else:
+                    vec = [int(hashlib.md5(f"a{j}:".encode() + blob)
                                .hexdigest()[:15], 16) / denom
                            for j in range(dim)]
                 rows.append((int(i), vec))
