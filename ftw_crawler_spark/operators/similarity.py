@@ -19,10 +19,20 @@ retrieval. Two paths:
   with a shuffle on the code key; skewed buckets are handled by
   increasing ``n_planes`` (bucket size halves per plane).
 
+- ``pq_train`` / ``pq_encode`` / ``pq_adc_topk``: product quantization
+  (Jégou et al. 2011) — the compressed-vector path. Vectors become
+  ``m`` small integer codes (dim·8 bytes → m ints); search is the
+  asymmetric-distance LUT sum over the codes relation, so a scan at
+  retrieval time never touches a corpus float. The same deterministic
+  Lloyd's machinery trains the per-subspace codebooks.
+
 Scale notes: brute-force is O(N·Q·d) but shuffle-free (broadcast
 join); LSH is one shuffle on (code) + a narrow re-rank. For IVF-style
 partitioning, cluster centroids would play the role of ``code`` —
-same bucket-join shape.
+same bucket-join shape. PQ is what keeps a 10^10-vector corpus
+memory-resident: codes are ~64× smaller than the float vectors, the
+LUT is broadcast, and the scoring aggregation shuffles only narrow
+(query, vid, decimal) partials with map-side combine.
 """
 
 from __future__ import annotations
@@ -329,6 +339,133 @@ def ivf_ann(corpus: DataFrame, query_ids, k: int = 5,
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id",
                     F.col("rank").cast("long").alias("rank")))
+
+
+def _pq_slices(df: DataFrame, m: int, id_col: str, vec_col: str,
+               out_id: str = "vid", dim: int = DIM) -> DataFrame:
+    """(id, sub, vs): each vector split into ``m`` contiguous
+    subvectors. Raises if the dimension doesn't divide evenly (PQ's
+    standard precondition)."""
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    v = _as_double(F.col(vec_col))
+    d_sub = dim // m
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.posexplode(F.array(*[
+            F.slice(v, i * d_sub + 1, d_sub)
+            for i in range(m)])).alias("sub", "vs"))
+
+
+def pq_train(corpus: DataFrame, m: int = 4, k_codes: int = 16,
+             n_iter: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding", dim: int = DIM) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011): the vector
+    space is split into ``m`` orthogonal subspaces of dim/m and each
+    gets its own ``k_codes``-centroid Lloyd's codebook — the SAME
+    deterministic loop as ``kmeans_centroids`` (sequential-fold
+    distances, DECIMAL component means, first-k init), run per
+    subspace on the sliced corpus. Returns the (sub, cid, c) relation,
+    lazy like ``kmeans_centroids`` so train → encode composes into one
+    job.
+
+    Memory at scale: the codebook is m·k_codes·(dim/m) doubles = one
+    broadcast row set; corpus vectors are read once per subspace."""
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    parts = []
+    for i in range(m):
+        sub_corpus = corpus.select(
+            F.col(id_col),
+            F.slice(_as_double(F.col(vec_col)), i * d_sub + 1, d_sub)
+            .alias("__sv"))
+        _, _, cents = _lloyd(sub_corpus, k_codes, n_iter, id_col,
+                             "__sv")
+        parts.append(cents.select(F.lit(i).cast("int").alias("sub"),
+                                  "cid", "c"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_encode(corpus: DataFrame, codebooks: DataFrame, m: int = 4,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              exploded: bool = False, dim: int = DIM) -> DataFrame:
+    """PQ encoding: each vector becomes ``m`` small integer code ids —
+    dim·8 bytes down to m ints; the compression that lets a 100 TB
+    embedding corpus keep its searchable form in cluster memory.
+
+    Per subspace, code = argmin-L2 codebook entry (min-struct agg on
+    (d2, cid) — map-side combinable, never a per-vector sort); the
+    codebook is broadcast. ``exploded=True`` returns the narrow
+    (vid, sub, cid) relation (what ``pq_adc_topk`` consumes — skips
+    the reassembly shuffle); default returns (vec_id, codes array)."""
+    cb = (codebooks.select("sub", "cid", "c")
+          .withColumn("c2", _dot(F.col("c"), F.col("c"))))
+    sliced = _pq_slices(corpus, m, id_col, vec_col, dim=dim)
+    d2 = (_dot(F.col("vs"), F.col("vs"))
+          - 2.0 * _dot(F.col("vs"), F.col("c")) + F.col("c2"))
+    assigned = (sliced.join(F.broadcast(cb), "sub")
+                .withColumn("__d2", d2)
+                .groupBy("vid", "sub")
+                .agg(F.min(F.struct(F.col("__d2"),
+                                    F.col("cid"))).alias("__b"))
+                .select("vid", "sub", F.col("__b.cid").alias("cid")))
+    if exploded:
+        return assigned
+    return (assigned.groupBy("vid")
+            .agg(F.array_sort(F.collect_list(
+                F.struct("sub", "cid"))).alias("sc"))
+            .select(F.col("vid").alias(id_col),
+                    F.col("sc.cid").alias("codes")))
+
+
+def pq_adc_topk(corpus: DataFrame, query_ids, k: int = 5, m: int = 4,
+                k_codes: int = 16, n_iter: int = 2,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                codebooks: DataFrame | None = None,
+                dim: int = DIM) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): queries stay exact, corpus
+    rows are their integer codes, and distance is the codebook-table
+    sum ``Σ_sub LUT[sub][code]`` where LUT[sub][cid] =
+    ||q_sub − c(sub,cid)||² — the scan never touches a corpus float.
+
+    Plan shape at 10^10 rows: the LUT (queries × codebook, Q·m·k_codes
+    rows) is broadcast; the scored relation is the narrow
+    (vid, sub, cid) codes at m ints/vector; the one aggregation
+    shuffles (query_id, vid) pairs with map-side combine. DECIMAL
+    partial-distance sums make the ranking order-independent, so the
+    operator is deterministic under any partitioning (pinned by
+    test_pq's partition-invariance case). Returns
+    (query_id, neighbor_id, rank, adist_r6)."""
+    if codebooks is None:
+        codebooks = pq_train(corpus, m, k_codes, n_iter, id_col,
+                             vec_col, dim=dim)
+    codes = pq_encode(corpus, codebooks, m, id_col, vec_col,
+                      exploded=True, dim=dim)
+    cb = (codebooks.select("sub", "cid", "c")
+          .withColumn("c2", _dot(F.col("c"), F.col("c"))))
+    q = _pq_slices(corpus.filter(F.col(id_col).isin(list(query_ids))),
+                   m, id_col, vec_col, out_id="query_id", dim=dim)
+    lut = (q.join(F.broadcast(cb), "sub")
+           .select("query_id", "sub", "cid",
+                   (_dot(F.col("vs"), F.col("vs"))
+                    - 2.0 * _dot(F.col("vs"), F.col("c"))
+                    + F.col("c2")).alias("d2p")))
+    scored = (codes.join(F.broadcast(lut), ["sub", "cid"])
+              .filter(F.col("vid") != F.col("query_id"))
+              .groupBy("query_id", "vid")
+              .agg(F.sum(F.col("d2p").cast("decimal(28,12)"))
+                   .cast("double").alias("adist")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("vid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("vid").alias("neighbor_id"),
+                    F.col("rank").cast("long").alias("rank"),
+                    F.round("adist", 6).alias("adist_r6")))
 
 
 def embedding_neardup_pairs(corpus: DataFrame, tau: float = 0.25,
