@@ -2543,13 +2543,20 @@ def _index_upsert_diff(spark, sf_dir):
 WITH paths AS (
   SELECT doc_id, '/' || source || '/doc-' || doc_id AS path
   FROM documents),
-rules(allow, prefix) AS (VALUES
-  (false, '/src1/'), (true, '/src1/doc-1'), (false, '/src3/doc-2')),
+rules(allow, pattern, regex) AS (VALUES
+  (false, '/src1/', NULL), (true, '/src1/doc-1', NULL),
+  (false, '/src3/doc-2', NULL),
+  (false, '/src2/*2$', '^/src2/.*2$'),
+  (true, '/src2/doc-1*', '^/src2/doc\\-1.*'),
+  (false, '/src5/doc-5$', '^/src5/doc\\-5$')),
 m AS (
   SELECT p.doc_id, r.allow,
     row_number() OVER (PARTITION BY p.doc_id
-                       ORDER BY length(r.prefix) DESC, r.allow DESC) AS rn
-  FROM paths p JOIN rules r ON starts_with(p.path, r.prefix))
+                       ORDER BY length(r.pattern) DESC, r.allow DESC)
+      AS rn
+  FROM paths p JOIN rules r
+    ON (r.regex IS NULL AND starts_with(p.path, r.pattern))
+    OR (r.regex IS NOT NULL AND regexp_matches(p.path, r.regex)))
 SELECT p.doc_id,
   coalesce((SELECT allow FROM m WHERE m.doc_id = p.doc_id AND rn = 1),
            true) AS robots_allowed
@@ -2557,13 +2564,18 @@ FROM paths p
 """)
 def _robots_gate(spark, sf_dir):
     """robots.txt gating (north rule): per-host rules parsed once,
-    longest-prefix match with allow-wins ties evaluated as pure column
-    expressions over the broadcast rules array (RFC 9309 §2.2.2,
-    sans wildcards)."""
+    longest-pattern match with allow-wins ties evaluated as pure
+    column expressions over the broadcast rules array — RFC 9309
+    §2.2.2 precedence with the §2.2.3 special characters (the
+    '/src2/*2$' rule gates every src2 doc, the longer doc-1* allow
+    re-admits the doc-1xx ids, and the terminal-$ rule pins exact
+    anchoring; the oracle restates each wildcard as the regex
+    robots.pattern_regex produces)."""
     from ftw_crawler_spark.operators.robots import (apply_robots,
                                                     robots_rules)
     body = ("User-agent: *\nDisallow: /src1/\nAllow: /src1/doc-1\n"
-            "Disallow: /src3/doc-2\n").encode()
+            "Disallow: /src3/doc-2\nDisallow: /src2/*2$\n"
+            "Allow: /src2/doc-1*\nDisallow: /src5/doc-5$\n").encode()
     robots = spark.createDataFrame([("corpus.example.org", body)],
                                    "host string, robots_txt binary")
     docs = _t(spark, sf_dir, "documents")

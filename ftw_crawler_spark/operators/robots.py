@@ -5,10 +5,13 @@ The reference crawler never fetches robots.txt (its sites are its own —
 /root/reference/ftw/crawler/fetcher.py has no robots handling), but a
 Common-Crawl-scale frontier scheduler must gate fetches on the robots
 exclusion protocol. Semantics implemented (the de-facto REP standard,
-RFC 9309 §2.2.2 without wildcards): within the ``User-agent: *`` group,
-the rule with the LONGEST matching path prefix wins; at equal length
-``Allow`` beats ``Disallow``; no matching rule ⇒ allowed; no robots.txt
-for the host ⇒ allowed.
+RFC 9309 §2.2.2 with the §2.2.3 special characters): within the
+``User-agent: *`` group, the rule with the LONGEST pattern (raw octet
+length, ``*``/``$`` included — the RFC's "most specific match" order)
+wins; at equal length ``Allow`` beats ``Disallow``; no matching rule ⇒
+allowed; no robots.txt for the host ⇒ allowed. ``*`` matches any span
+(including empty); a TERMINAL ``$`` anchors the end of the path
+(elsewhere ``$`` is literal — the common-crawler reading).
 
 Scale shape: robots bodies are per-HOST (one row per host — millions of
 rows at web scale, but KBs each and reusable across the host's URLs),
@@ -27,8 +30,25 @@ from pyspark.sql import types as T
 
 RULES_TYPE = T.ArrayType(T.StructType([
     T.StructField("allow", T.BooleanType()),
-    T.StructField("prefix", T.StringType()),
+    T.StructField("prefix", T.StringType()),   # the raw rule pattern
+    T.StructField("regex", T.StringType()),    # non-NULL iff wildcarded
 ]))
+
+
+def pattern_regex(pattern: str) -> str | None:
+    """Anchored regex for a rule pattern that uses RFC 9309 §2.2.3
+    special characters, or None for a plain prefix rule (which the
+    evaluators match with the cheaper ``startswith``). ``re.escape``
+    output is valid in Python re, Java regex and RE2 alike (it only
+    backslash-escapes punctuation), so ONE translation serves the
+    Spark gate, the DuckDB oracle and the Python evaluator."""
+    import re as _re
+    anchor = pattern.endswith("$")
+    core = pattern[:-1] if anchor else pattern
+    if "*" not in core and not anchor:
+        return None
+    return ("^" + ".*".join(_re.escape(p) for p in core.split("*"))
+            + ("$" if anchor else ""))
 
 
 def parse_robots_txt(text: str) -> list:
@@ -161,12 +181,17 @@ def robots_sitemap_urls(robots: DataFrame, host_col: str = "host",
 
 
 def is_path_allowed(path: str, rules: list) -> bool:
-    """Longest-prefix match; ties → allow. Oracle-side evaluator."""
+    """Longest-pattern match (wildcards included); ties → allow.
+    Oracle-side evaluator — same semantics as ``allowed_col``."""
+    import re as _re
     best_len = -1
     best_allow = True
-    for allow, prefix in rules:
-        if path.startswith(prefix):
-            ln = len(prefix)
+    for allow, pattern in rules:
+        rx = pattern_regex(pattern)
+        hit = (_re.match(rx, path) is not None) if rx else \
+            path.startswith(pattern)
+        if hit:
+            ln = len(pattern)
             if ln > best_len or (ln == best_len and allow):
                 best_len = ln
                 best_allow = allow
@@ -176,7 +201,8 @@ def is_path_allowed(path: str, rules: list) -> bool:
 @F.pandas_udf(RULES_TYPE)
 def parse_robots_udf(body: pd.Series) -> pd.Series:
     return pd.Series([
-        parse_robots_txt(bytes(b).decode("utf-8", errors="replace"))
+        [(allow, pat, pattern_regex(pat)) for allow, pat in
+         parse_robots_txt(bytes(b).decode("utf-8", errors="replace"))]
         if b is not None else []
         for b in body])
 
@@ -190,14 +216,21 @@ def robots_rules(robots: DataFrame, host_col: str = "host",
 
 
 def allowed_col(rules: Column, path: Column) -> Column:
-    """Pure-expression longest-prefix-match evaluation.
+    """Pure-expression longest-pattern-match evaluation.
 
-    ``array_max`` over struct(prefix_len, allow) implements "longest
-    prefix wins, allow beats disallow on ties" because struct comparison
-    is lexicographic and false < true. NULL rules (host absent from the
-    robots table) ⇒ allowed.
+    ``array_max`` over struct(pattern_len, allow) implements "longest
+    pattern wins, allow beats disallow on ties" because struct
+    comparison is lexicographic and false < true. Plain prefix rules
+    match with ``startswith``; wildcard rules with their precomputed
+    anchored regex (``regexp_like`` on the tiny per-host rules array —
+    the per-URL hot path stays pure column expressions). NULL rules
+    (host absent from the robots table) ⇒ allowed.
     """
-    matched = F.filter(rules, lambda r: path.startswith(r["prefix"]))
+    matched = F.filter(
+        rules,
+        lambda r: F.when(r["regex"].isNotNull(),
+                         F.regexp_like(path, r["regex"]))
+        .otherwise(path.startswith(r["prefix"])))
     best = F.array_max(F.transform(
         matched, lambda r: F.struct(F.length(r["prefix"]).alias("l"),
                                     r["allow"].alias("allow"))))

@@ -70,6 +70,64 @@ def test_spark_gate_matches_python(spark):
     assert out[("nobots.example", "http://nobots.example/private/a")]
 
 
+WILD_BODY = """User-agent: *
+Disallow: /files/*.pdf
+Allow: /files/public*.pdf
+Disallow: /*?session=
+Disallow: /exact$
+Allow: /do$lar
+"""
+
+
+def test_pattern_regex_translation():
+    from ftw_crawler_spark.operators.robots import pattern_regex
+    assert pattern_regex("/plain/prefix") is None
+    assert pattern_regex("/a/*.pdf") == "^/a/.*\\.pdf"
+    assert pattern_regex("/exact$") == "^/exact$"
+    # a non-terminal $ is literal, and alone doesn't need a regex...
+    assert pattern_regex("/do$lar") is None
+    # ...unless combined with a wildcard or terminal anchor
+    assert pattern_regex("/do$lar*x$") == "^/do\\$lar.*x$"
+
+
+def test_wildcard_match_semantics():
+    rules = parse_robots_txt(WILD_BODY)
+    assert (False, "/files/*.pdf") in rules
+    # * spans any run; longest raw pattern wins the precedence fight
+    assert not is_path_allowed("/files/a/b/secret.pdf", rules)
+    assert is_path_allowed("/files/public-2024.pdf", rules)
+    assert is_path_allowed("/files/readme.txt", rules)
+    # mid-path wildcard over the query-ish segment
+    assert not is_path_allowed("/page?session=abc", rules)
+    # terminal $ anchors; without it the rule would gate the subtree
+    assert not is_path_allowed("/exact", rules)
+    assert is_path_allowed("/exact/sub", rules)
+    assert is_path_allowed("/exactly", rules)
+    # non-terminal $ is a literal character
+    assert is_path_allowed("/do$lar", rules)
+
+
+def test_spark_wildcard_gate_matches_python(spark):
+    robots = spark.createDataFrame(
+        [("w.example", WILD_BODY.encode())],
+        "host string, robots_txt binary")
+    paths = ["/files/a/b/secret.pdf", "/files/public-2024.pdf",
+             "/files/readme.txt", "/page?x=1", "/exact", "/exact/sub",
+             "/exactly", "/do$lar", "/"]
+    frontier = spark.createDataFrame(
+        [("w.example", f"http://w.example{p}") for p in paths],
+        "host string, loc string")
+    out = {r["loc"]: r["robots_allowed"] for r in
+           apply_robots(frontier, robots_rules(robots)).collect()}
+    py_rules = parse_robots_txt(WILD_BODY)
+    for p in paths:
+        # the gate matches on the PATH component (query excluded), so
+        # compare against the oracle on the same slice
+        path_only = p.split("?", 1)[0]
+        assert out[f"http://w.example{p}"] == \
+            is_path_allowed(path_only, py_rules), p
+
+
 def test_crawl_world_gates_disallowed_buckets(spark, tiny_world):
     """The synthetic world's robots (site0 /page/13/, /page/7/ minus
     doc-1*) must keep gated urls out of the index — engine side."""
