@@ -1288,7 +1288,35 @@ def _lang_quality_sql() -> str:
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
 hits AS (SELECT doc_id, t, {hits['en']} AS en, {hits['de']} AS de,
-                {hits['fr']} AS fr, {hits['es']} AS es FROM toks)
+                {hits['fr']} AS fr, {hits['es']} AS es FROM toks),
+tok AS (SELECT unnest(t) AS w FROM toks),
+uni AS (SELECT w, count(*)::BIGINT AS c1 FROM tok GROUP BY w),
+ntot AS (SELECT count(*)::DOUBLE AS N FROM tok),
+bgl AS (SELECT doc_id, [t[i] || ' ' || t[i+1]
+                        for i in range(1, len(t))] AS bs FROM toks),
+bg AS (SELECT b, count(*)::BIGINT AS c12
+       FROM (SELECT unnest(bs) AS b FROM bgl) GROUP BY b),
+firstp AS (
+  SELECT doc_id, round(coalesce(u.c1, 0)::DOUBLE / ntot.N, 9) AS p
+  FROM toks LEFT JOIN uni u ON u.w = t[1], ntot),
+bgpos AS (SELECT doc_id, unnest(bs) AS b FROM bgl),
+bgp AS (
+  SELECT doc_id, round(
+    CASE WHEN bg.c12 IS NOT NULL
+         THEN bg.c12::DOUBLE / up.c1::DOUBLE
+         ELSE 0.4 * coalesce(uw.c1, 0)::DOUBLE / ntot.N END, 9) AS p
+  FROM bgpos
+  LEFT JOIN bg USING (b)
+  LEFT JOIN uni up ON up.w = string_split(b, ' ')[1]
+  LEFT JOIN uni uw ON uw.w = string_split(b, ' ')[-1], ntot),
+lm AS (
+  SELECT t.doc_id, round(
+    (SELECT sum(p::DECIMAL(28,12)) FROM (
+       SELECT p FROM firstp f WHERE f.doc_id = t.doc_id
+       UNION ALL
+       SELECT p FROM bgp g WHERE g.doc_id = t.doc_id))::DOUBLE
+    / len(t.t), 6) AS lm_score_r6
+  FROM toks t)
 SELECT doc_id,
   CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
        WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
@@ -1303,8 +1331,9 @@ SELECT doc_id,
   (len(t) >= 10 AND len(t) <= 10000
    AND list_sum(list_transform(t, x -> length(x))) >= 3 * len(t)
    AND list_sum(list_transform(t, x -> length(x))) <= 12 * len(t))
-    AS quality_ok
-FROM hits
+    AS quality_ok,
+  lm.lm_score_r6
+FROM hits JOIN lm USING (doc_id)
 """
 
 
@@ -1384,8 +1413,14 @@ def _lang_quality(spark, sf_dir):
     """Language-ID by stopword voting + quality gate from integer
     token stats (length/alpha/stopword ratios via cross-multiplication
     — float-free, oracle-exact) in ONE projection: one scan, pure
-    codegen, no shuffle at any corpus size."""
-    return ts.lang_quality(_t(spark, sf_dir, "documents"))
+    codegen, no shuffle at any corpus size — joined with the
+    stupid-backoff LM quality score (textstats.lm_score, the
+    CCNet-style signal: corpus-trained bigram model, mean token
+    conditional probability, 9-dp-rounded DECIMAL-summed positions so
+    the double math is cross-engine exact)."""
+    docs = _t(spark, sf_dir, "documents")
+    lm = ts.lm_score(docs).select("doc_id", "lm_score_r6")
+    return ts.lang_quality(docs).join(lm, "doc_id")
 
 
 @_q("curation_pipeline", f"""

@@ -198,6 +198,96 @@ def pack_token_shards(docs: DataFrame, budget_tokens: int,
                     .cast("long").alias("shard_idx")))
 
 
+LM_ALPHA = 0.4   # stupid-backoff discount (Brants et al. 2007)
+
+
+def lm_counts(docs: DataFrame, text_col: str = "text",
+              min_count: int = 1):
+    """Corpus n-gram language model as two count relations:
+    (w, c1) unigrams and (b, c12) space-joined bigrams — trained with
+    one scan and two map-side-combined aggregations (the only
+    shuffles). ``min_count`` prunes the tail (the knob that keeps the
+    serving tables broadcastable: a 100 TB corpus's pruned bigram
+    head is millions of rows, not billions)."""
+    toks = tokens_col(text_col)
+    uni = (docs.select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c1")))
+    bg = (docs.select(F.explode(shingles_col(toks, 2)).alias("b"))
+          .groupBy("b").agg(F.count(F.lit(1)).alias("c12")))
+    if min_count > 1:
+        uni = uni.filter(F.col("c1") >= min_count)
+        bg = bg.filter(F.col("c12") >= min_count)
+    return uni, bg
+
+
+def lm_score(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", unigrams: DataFrame | None = None,
+             bigrams: DataFrame | None = None,
+             alpha: float = LM_ALPHA) -> DataFrame:
+    """CCNet-style LM quality signal (Wenzek et al. 2020 filter by a
+    corpus LM; scoring rule = stupid backoff, Brants et al. 2007):
+    every token position contributes S(w|prev) — the bigram ratio
+    c(prev w)/c(prev) when the bigram was seen, else
+    ``alpha``·c(w)/N; the first token scores its unigram probability —
+    and the doc's score is the mean. Fluent in-domain text scores
+    high; gibberish and OOV-heavy boilerplate score low (mean token
+    conditional probability — the division-free cousin of perplexity,
+    chosen over log-space so the math is cross-engine exact: each
+    position's double division is one IEEE op, rounded to 9 dp, summed
+    as DECIMAL — partition-order-independent — and averaged).
+
+    Returns (id, n_tokens, lm_score_r6). Trains on ``docs`` itself
+    unless count relations are passed (score-new-data mode; unseen
+    words contribute 0). Scale shape: two training shuffles, then the
+    position relations join the count tables on token keys — pruned
+    LM heads broadcast (see ``lm_counts``), so the hot path adds no
+    shuffle beyond the per-doc combine."""
+    if unigrams is None or bigrams is None:
+        unigrams, bigrams = lm_counts(docs, text_col)
+    n_total = unigrams.agg(F.sum("c1").cast("double").alias("__N"))
+    toks = tokens_col(text_col)
+
+    first = docs.select(F.col(id_col),
+                        F.element_at(toks, 1).alias("w"),
+                        F.size(toks).cast("long").alias("n_tokens"))
+    p_first = (F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+               / F.col("__N"))
+    first_p = (first.join(unigrams, "w", "left").crossJoin(n_total)
+               .select(id_col, "n_tokens",
+                       F.round(p_first, 9).alias("__p")))
+
+    bgpos = docs.select(
+        F.col(id_col),
+        F.explode(shingles_col(toks, 2)).alias("b"))
+    prev = F.substring_index(F.col("b"), " ", 1)
+    w2 = F.substring_index(F.col("b"), " ", -1)
+    scored = (bgpos.withColumn("w", w2).withColumn("__prev", prev)
+              .join(bigrams, "b", "left")
+              .join(unigrams.select(F.col("w").alias("__prev"),
+                                    F.col("c1").alias("__cprev")),
+                    "__prev", "left")
+              .join(unigrams, "w", "left")
+              .crossJoin(n_total))
+    p_bg = (F.when(F.col("c12").isNotNull(),
+                   F.col("c12").cast("double")
+                   / F.col("__cprev").cast("double"))
+            .otherwise(F.lit(alpha)
+                       * F.coalesce(F.col("c1"), F.lit(0))
+                       .cast("double") / F.col("__N")))
+    bg_p = scored.select(id_col, F.lit(None).cast("long")
+                         .alias("n_tokens"),
+                         F.round(p_bg, 9).alias("__p"))
+
+    return (first_p.unionByName(bg_p)
+            .groupBy(id_col)
+            .agg(F.max("n_tokens").alias("n_tokens"),
+                 (F.sum(F.col("__p").cast("decimal(28,12)"))
+                  .cast("double")).alias("__s"))
+            .select(id_col, "n_tokens",
+                    F.round(F.col("__s") / F.col("n_tokens"), 6)
+                    .alias("lm_score_r6")))
+
+
 # Gopher stop-word rule list (Rae et al. 2021, "Scaling Language
 # Models: ... Gopher", appendix A1.1): a doc must contain >= 2 of these.
 GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")

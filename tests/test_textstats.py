@@ -111,3 +111,83 @@ def test_gopher_rules_stop_hits_distinct(spark):
     got = {r["doc_id"]: r["stop_hits"]
            for r in ts.gopher_rules(df).collect()}
     assert got == {1: 1, 2: 2}  # distinct membership, not occurrences
+
+
+def test_lm_counts_and_prune(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x")], "doc_id long, text string")
+    uni, bg = ts.lm_counts(df)
+    assert {r["w"]: r["c1"] for r in uni.collect()} == \
+        {"a": 3, "b": 3, "c": 1, "x": 1}
+    assert {r["b"]: r["c12"] for r in bg.collect()} == \
+        {"a b": 3, "b a": 1, "b c": 1, "b x": 1}
+    uni2, bg2 = ts.lm_counts(df, min_count=2)
+    assert {r["w"] for r in uni2.collect()} == {"a", "b"}
+    assert {r["b"] for r in bg2.collect()} == {"a b"}
+
+
+def _py_lm_score(texts, train_texts=None, alpha=0.4):
+    """Row-wise stupid-backoff oracle replicating the engine's math:
+    per-position IEEE division, round(…, 9), exact decimal sum,
+    double mean, round(…, 6)."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+    train = train_texts if train_texts is not None else texts
+    uni, bg = Counter(), Counter()
+    for t in train.values():
+        toks = t.split()
+        uni.update(toks)
+        bg.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    n_total = float(sum(uni.values()))
+    out = {}
+    for did, t in texts.items():
+        toks = t.split()
+        ps = [uni.get(toks[0], 0) / n_total]
+        for a, b in zip(toks, toks[1:]):
+            key = f"{a} {b}"
+            if key in bg:
+                ps.append(bg[key] / uni[a])
+            else:
+                ps.append(alpha * uni.get(b, 0) / n_total)
+        total = sum((Decimal(repr(round(p, 9)))
+                     .quantize(Decimal("1e-12"), ROUND_HALF_UP)
+                     for p in ps), Decimal(0))
+        out[did] = (len(toks), round(float(total) / len(toks), 6))
+    return out
+
+
+def test_lm_score_matches_python_oracle(spark):
+    texts = {1: "the cat sat on the mat",
+             2: "the cat sat on the mat",      # fluent repeat: high
+             3: "zq wv zq kj wv",              # gibberish: low
+             4: "the mat sat"}                 # unseen bigrams: backoff
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["lm_score_r6"])
+           for r in ts.lm_score(df).collect()}
+    assert got == _py_lm_score(texts)
+    # fluent text outscores gibberish
+    assert got[1][1] > got[3][1]
+
+
+def test_lm_score_new_data_mode_and_oov(spark):
+    train = {1: "the cat sat on the mat"}
+    score = {9: "the cat nebuchadnezzar"}     # OOV word contributes 0
+    tdf = spark.createDataFrame(list(train.items()),
+                                "doc_id long, text string")
+    sdf = spark.createDataFrame(list(score.items()),
+                                "doc_id long, text string")
+    uni, bg = ts.lm_counts(tdf)
+    got = {r["doc_id"]: (r["n_tokens"], r["lm_score_r6"])
+           for r in ts.lm_score(sdf, unigrams=uni,
+                                bigrams=bg).collect()}
+    assert got == _py_lm_score(score, train_texts=train)
+
+
+def test_lm_score_partition_invariance(spark):
+    texts = [(i, f"tok{i % 3} tok{(i + 1) % 4} tok{i % 3} filler{i}")
+             for i in range(40)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    a = sorted(map(tuple, ts.lm_score(df.repartition(13)).collect()))
+    b = sorted(map(tuple, ts.lm_score(df.coalesce(1)).collect()))
+    assert a == b
