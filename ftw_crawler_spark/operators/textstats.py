@@ -223,7 +223,8 @@ def lm_counts(docs: DataFrame, text_col: str = "text",
 def lm_score(docs: DataFrame, text_col: str = "text",
              id_col: str = "doc_id", unigrams: DataFrame | None = None,
              bigrams: DataFrame | None = None,
-             alpha: float = LM_ALPHA) -> DataFrame:
+             alpha: float = LM_ALPHA,
+             broadcast_lm: bool = True) -> DataFrame:
     """CCNet-style LM quality signal (Wenzek et al. 2020 filter by a
     corpus LM; scoring rule = stupid backoff, Brants et al. 2007):
     every token position contributes S(w|prev) — the bigram ratio
@@ -239,12 +240,18 @@ def lm_score(docs: DataFrame, text_col: str = "text",
     Returns (id, n_tokens, lm_score_r6). Trains on ``docs`` itself
     unless count relations are passed (score-new-data mode; unseen
     words contribute 0). Scale shape: two training shuffles, then the
-    position relations join the count tables on token keys — pruned
-    LM heads broadcast (see ``lm_counts``), so the hot path adds no
-    shuffle beyond the per-doc combine."""
+    position relations join the count tables on token keys with
+    BROADCAST hash joins (``broadcast_lm``, default on — skew-immune:
+    'the'-sized keys never funnel a shuffle task; see ``lm_counts``
+    for why the pruned head fits), so the hot path adds no shuffle
+    beyond the per-doc combine. Set ``broadcast_lm=False`` only when
+    an unpruned LM exceeds the broadcast budget."""
     if unigrams is None or bigrams is None:
         unigrams, bigrams = lm_counts(docs, text_col)
     n_total = unigrams.agg(F.sum("c1").cast("double").alias("__N"))
+    if broadcast_lm:
+        unigrams = F.broadcast(unigrams)
+        bigrams = F.broadcast(bigrams)
     toks = tokens_col(text_col)
 
     first = docs.select(F.col(id_col),
