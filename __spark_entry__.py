@@ -902,16 +902,39 @@ def _contamination(spark, sf_dir):
 
 
 @_q("text_length_histogram", f"""
-SELECT (len(t) // 64) * 64 AS bucket_lo,
-       count(*)::BIGINT AS n_docs,
-       sum(len(t))::BIGINT AS sum_tokens
-FROM (SELECT {_TOKS_SQL} AS t FROM documents) GROUP BY 1
+WITH vals AS (SELECT len({_TOKS_SQL}) AS v FROM documents),
+hist AS (
+  SELECT 'hist' AS part, (v // 64) * 64 AS k,
+         count(*)::BIGINT AS n_docs, sum(v)::BIGINT AS sum_tokens
+  FROM vals GROUP BY 2),
+counts AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+               (SELECT count(*) FROM vals) AS total
+        FROM counts),
+pctl AS (
+  SELECT 'pctl' AS part, p::BIGINT AS k, min(v)::BIGINT AS n_docs,
+         NULL::BIGINT AS sum_tokens
+  FROM cum, (SELECT unnest([25, 50, 75, 90, 99]) AS p)
+  WHERE cum * 100 >= p * total GROUP BY p)
+SELECT * FROM hist UNION ALL SELECT * FROM pctl
 """)
 def _text_length_histogram(spark, sf_dir):
     """Corpus token-length distribution in 64-token buckets (mixture /
-    truncation planning) — map-side combine, one tiny shuffle."""
+    truncation planning) — map-side combine, one tiny shuffle — UNION
+    the exact nearest-rank percentiles of the same lengths
+    (textstats.exact_percentiles: distribution counting, integer
+    cross-mult picks — 'pctl' rows carry (p, value) in (k, n_docs))."""
     docs = _t(spark, sf_dir, "documents")
-    return ts.length_histogram(docs)
+    n = docs.select(F.size(dedup.tokens_col("text")).cast("long")
+                    .alias("v"))
+    hist = ts.length_histogram(docs).select(
+        F.lit("hist").alias("part"), F.col("bucket_lo").alias("k"),
+        "n_docs", "sum_tokens")
+    pctl = ts.exact_percentiles(n, "v").select(
+        F.lit("pctl").alias("part"), F.col("p").alias("k"),
+        F.col("value").alias("n_docs"),
+        F.lit(None).cast("long").alias("sum_tokens"))
+    return hist.unionByName(pctl)
 
 
 # Gopher A1.1 combined gate over (t tokens, lns non-empty lines) —

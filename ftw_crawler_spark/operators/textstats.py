@@ -159,6 +159,36 @@ def length_histogram(docs: DataFrame, text_col: str = "text",
                  F.sum("__n").alias("sum_tokens")))
 
 
+def exact_percentiles(df: DataFrame, value_col: str,
+                      ps: tuple = (25, 50, 75, 90, 99)) -> DataFrame:
+    """(p, value): EXACT nearest-rank percentiles of an integer column
+    — value = the smallest v whose cumulative count covers p% (the
+    classic nearest-rank definition, integer cross-multiplied:
+    ``100·cum ≥ p·total`` — no float, bit-reproducible in SQL).
+
+    Scale shape: distribution counting. One map-side-combined shuffle
+    collapses the corpus to its DISTINCT-value counts (token lengths,
+    status codes, depths — bounded domains by nature), then the
+    running sum and the percentile picks run over that tiny relation
+    (a single-task window by design: the relation is the domain, not
+    the corpus — never sort 100 TB for a quantile). Approximate
+    sketches (t-digest) trade exactness for unbounded domains; for
+    the integer stats a curation dashboard reads, exact is free."""
+    counts = (df.select(F.col(value_col).cast("long").alias("v"))
+              .groupBy("v").agg(F.count(F.lit(1)).alias("__c")))
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (counts.withColumn("__cum", F.sum("__c").over(w))
+           .withColumn("__total",
+                       F.sum("__c").over(Window.partitionBy())))
+    pcol = F.explode(F.array(*[F.lit(int(p)) for p in ps])).alias("p")
+    return (cum.select(pcol, "v", "__cum", "__total")
+            .filter(F.col("__cum") * 100 >= F.col("p") * F.col("__total"))
+            .groupBy("p")
+            .agg(F.min("v").alias("value"))
+            .select(F.col("p").cast("long").alias("p"), "value"))
+
+
 def pack_token_shards(docs: DataFrame, budget_tokens: int,
                       n_groups: int = 64, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:

@@ -191,3 +191,18 @@ def test_lm_score_partition_invariance(spark):
     a = sorted(map(tuple, ts.lm_score(df.repartition(13)).collect()))
     b = sorted(map(tuple, ts.lm_score(df.coalesce(1)).collect()))
     assert a == b
+
+
+def test_exact_percentiles_nearest_rank(spark):
+    # 1..100 uniformly once: nearest-rank p-th percentile is exactly p
+    df = spark.createDataFrame([(v,) for v in range(1, 101)], "v long")
+    got = {r["p"]: r["value"]
+           for r in ts.exact_percentiles(df, "v").collect()}
+    assert got == {25: 25, 50: 50, 75: 75, 90: 90, 99: 99}
+    # skewed multiset: smallest v whose cumulative count covers p%
+    df2 = spark.createDataFrame([(1,)] * 7 + [(10,)] * 2 + [(100,)],
+                                "v long")
+    got2 = {r["p"]: r["value"] for r in
+            ts.exact_percentiles(df2, "v", ps=(50, 70, 80, 90, 100))
+            .collect()}
+    assert got2 == {50: 1, 70: 1, 80: 10, 90: 10, 100: 100}
