@@ -841,17 +841,37 @@ WITH t0 AS (SELECT doc_id, text
   || CASE WHEN doc_id % 7 = 0 THEN ' call 555-0199-4433' ELSE '' END
   || CASE WHEN doc_id % 11 = 0
      THEN ' host 10.0.' || (doc_id % 256)::VARCHAR || '.77'
-     ELSE '' END AS t
-  FROM documents)
+     ELSE '' END
+  || CASE WHEN doc_id % 13 = 0
+     THEN ' card 4111 1111 1111 1111 ok' ELSE '' END
+  || CASE WHEN doc_id % 17 = 0
+     THEN ' ref 4111 1111 1111 1112 no' ELSE '' END AS t
+  FROM documents),
+cands AS (
+  SELECT doc_id, reverse(regexp_replace(c, '[^0-9]', '', 'g')) AS rd
+  FROM (SELECT doc_id, unnest(regexp_extract_all(t, '{curation.CC_RE}'))
+          AS c FROM t0)),
+lu AS (
+  SELECT doc_id, count(*)::BIGINT AS n_cc,
+    sum(CASE WHEN list_sum(
+          [CASE WHEN (i-1) % 2 = 0 THEN substr(rd, i, 1)::INT
+                WHEN 2 * substr(rd, i, 1)::INT > 9
+                  THEN 2 * substr(rd, i, 1)::INT - 9
+                ELSE 2 * substr(rd, i, 1)::INT END
+           for i in range(1, length(rd) + 1)]) % 10 = 0
+        THEN 1 ELSE 0 END)::BIGINT AS n_cc_valid
+  FROM cands GROUP BY doc_id)
 SELECT doc_id,
   len(regexp_extract_all(t, '{curation.EMAIL_RE}'))::BIGINT AS n_email,
   len(regexp_extract_all(t, '{curation.PHONE_RE}'))::BIGINT AS n_phone,
   len(regexp_extract_all(t, '{curation.IPV4_RE}'))::BIGINT AS n_ipv4,
+  coalesce(lu.n_cc, 0) AS n_cc,
+  coalesce(lu.n_cc_valid, 0) AS n_cc_valid,
   regexp_replace(regexp_replace(regexp_replace(t,
     '{curation.EMAIL_RE}', '<EMAIL>', 'g'),
     '{curation.PHONE_RE}', '<PHONE>', 'g'),
     '{curation.IPV4_RE}', '<IP>', 'g') AS redacted
-FROM t0
+FROM t0 LEFT JOIN lu USING (doc_id)
 """)
 def _pii_scan(spark, sf_dir):
     """PII detection + redaction as pure codegen regex columns. The
@@ -872,6 +892,12 @@ def _pii_scan(spark, sf_dir):
                F.concat(t, F.lit(" host 10.0."),
                         (F.col("doc_id") % 256).cast("string"),
                         F.lit(".77"))).otherwise(t)
+    t = F.when(F.col("doc_id") % 13 == 0,
+               F.concat(t, F.lit(" card 4111 1111 1111 1111 ok"))
+               ).otherwise(t)
+    t = F.when(F.col("doc_id") % 17 == 0,
+               F.concat(t, F.lit(" ref 4111 1111 1111 1112 no"))
+               ).otherwise(t)
     salted = docs.select("doc_id", t.alias("text"))
     return curation.pii_scan(salted)
 

@@ -38,17 +38,43 @@ PII_RULES = (
     ("ipv4", IPV4_RE, "<IP>"),
 )
 
+# 13-16 digits, optional single space/dash separators (card-shaped).
+CC_RE = r"\b[0-9](?:[ -]?[0-9]){12,15}\b"
+
+
+def luhn_valid_col(cand):
+    """Luhn mod-10 check as pure column algebra (no Python, no UDF):
+    digits reversed, every second doubled with the >9 fold-back,
+    sum % 10 == 0. Runs per matched candidate inside a higher-order
+    filter — candidates per doc are few, so the interpreted HOF cost
+    is bounded by matches, not text length."""
+    rd = F.reverse(F.regexp_replace(cand, "[^0-9]", ""))
+    digs = F.transform(
+        F.filter(F.split(rd, ""), lambda ch: ch != ""),
+        lambda ch: ch.cast("int"))
+    contrib = F.transform(
+        digs,
+        lambda d, i: F.when(i % 2 == 0, d)
+        .otherwise(F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)))
+    total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
+    return total % 10 == 0
+
 
 def pii_scan(docs: DataFrame, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
-    """(id, n_email, n_phone, n_ipv4, redacted): per-document PII hit
-    counts plus the text with every match replaced by its placeholder.
+    """(id, n_email, n_phone, n_ipv4, n_cc, n_cc_valid, redacted):
+    per-document PII hit counts plus the text with every match
+    replaced by its placeholder.
 
     Counts are computed over the ORIGINAL text (so a phone number
     embedded in an email local-part counts for both rules), while the
     redaction applies the rules sequentially in PII_RULES order
     (email → phone → ipv4) to the progressively redacted value — the
-    DuckDB oracle pins both behaviors byte-for-byte.
+    DuckDB oracle pins both behaviors byte-for-byte. Card-shaped
+    digit runs are counted (n_cc) and CHECKSUM-VALIDATED (n_cc_valid,
+    Luhn mod-10 — the filter that separates real card leaks from
+    order numbers and timestamps); they are not redacted, matching
+    the counts-over-original contract.
 
     Pure column algebra — survives any corpus size without a shuffle.
     """
@@ -60,6 +86,10 @@ def pii_scan(docs: DataFrame, text_col: str = "text",
             F.regexp_count(F.col("__t"), F.lit(pat))
             .cast("long").alias(f"n_{name}"))
         red = F.regexp_replace(red, pat, repl)
+    cands = F.regexp_extract_all(F.col("__t"), F.lit(CC_RE), F.lit(0))
+    counts.append(F.size(cands).cast("long").alias("n_cc"))
+    counts.append(F.size(F.filter(cands, luhn_valid_col))
+                  .cast("long").alias("n_cc_valid"))
     return out.select(id_col, *counts, red.alias("redacted"))
 
 

@@ -228,3 +228,17 @@ def test_mixture_sample_single_source_caps_at_one(spark):
     out = mixture_sample(df, "source", "doc_id", target_rows=100)
     assert out.count() == 30
     assert out.select("p_ppm").distinct().collect()[0][0] == 1_000_000
+
+
+def test_pii_luhn_card_validation(spark):
+    df = spark.createDataFrame(
+        [(1, "pay with 4111 1111 1111 1111 today"),        # valid visa
+         (2, "ref 4111-1111-1111-1112 is not a card"),      # bad check
+         (3, "two: 4222222222222 and 5500 0000 0000 0004"),  # both valid
+         (4, "order 1234567890123456 stamp"),                # invalid
+         (5, "no digits here")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_cc"], r["n_cc_valid"])
+           for r in curation.pii_scan(df).collect()}
+    assert got == {1: (1, 1), 2: (1, 0), 3: (2, 2), 4: (1, 0),
+                   5: (0, 0)}
