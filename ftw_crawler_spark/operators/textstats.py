@@ -278,6 +278,13 @@ def lm_score(docs: DataFrame, text_col: str = "text",
     an unpruned LM exceeds the broadcast budget."""
     if unigrams is None or bigrams is None:
         unigrams, bigrams = lm_counts(docs, text_col)
+    # the count relations serve 4 consumers (N, first-token join, the
+    # context join, the backoff join) — checkpoint lazily so the
+    # aggregations run once, not once per consumer (the
+    # multi-consumer-sketch invariant; Catalyst emits no
+    # ReusedExchange across separate broadcast instances)
+    unigrams = unigrams.localCheckpoint(eager=False)
+    bigrams = bigrams.localCheckpoint(eager=False)
     n_total = unigrams.agg(F.sum("c1").cast("double").alias("__N"))
     if broadcast_lm:
         unigrams = F.broadcast(unigrams)
