@@ -295,7 +295,25 @@ def _politeness(spark, sf_dir):
     return fifo.unionByName(prio)
 
 
-@_q("events_daily_agg", """
+@_q("events_daily_agg", f"""
+WITH hll_src AS (
+  SELECT 'event_id' AS label, {_MD5L.format("event_id::VARCHAR")} AS h
+  FROM events
+  UNION ALL
+  SELECT 'user_id', {_MD5L.format("user_id::VARCHAR")} FROM events),
+hll_regs AS (
+  SELECT label, h % 16 AS reg,
+    max(57 - CASE WHEN h // 16 > 0
+             THEN length(ltrim(bin(h // 16), '0')) ELSE 0 END) AS mj
+  FROM hll_src GROUP BY 1, 2),
+hll_est AS (
+  SELECT label,
+    0.673 * 16 * 16 * 4611686018427387904.0 /
+      (sum(((1::BIGINT) << (62 - mj))::DECIMAL(38,0))
+       + (16 - count(*))::DECIMAL(38,0)
+         * 4611686018427387904::DECIMAL(38,0))::DOUBLE AS raw,
+    (16 - count(*)) AS zeros
+  FROM hll_regs GROUP BY label)
 SELECT 'daily' AS part, date_trunc('day', ts) AS day, event_type,
        count(*) AS n,
        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
@@ -304,6 +322,14 @@ UNION ALL
 SELECT 'total' AS part, NULL AS day, event_type,
        count(*) AS n, NULL AS sum_value
 FROM events GROUP BY event_type
+UNION ALL
+SELECT 'hll' AS part, NULL AS day, label AS event_type,
+  CASE label WHEN 'event_id'
+    THEN (SELECT count(DISTINCT event_id) FROM events)
+    ELSE (SELECT count(DISTINCT user_id) FROM events) END AS n,
+  round(CASE WHEN raw <= 40.0 AND zeros > 0
+             THEN 16.0 * ln(16.0 / zeros) ELSE raw END, 4) AS sum_value
+FROM hll_est
 """)
 def _events_daily(spark, sf_dir):
     """A1/A2/A5 in one tagged relation:
@@ -335,7 +361,25 @@ def _events_daily(spark, sf_dir):
                      F.lit(None).cast("timestamp").alias("day"),
                      "event_type", "n",
                      F.lit(None).cast("double").alias("sum_value")))
-    return daily.unionByName(total)
+    out = daily.unionByName(total)
+    # 'hll' rows: the cross-engine-deterministic HyperLogLog sketch
+    # (textstats.hll_distinct) next to the exact distinct count — the
+    # cardinality-estimation staple (dedup planning, vocab sizing),
+    # certified THROUGH ITS ESTIMATE because every sketch step is
+    # engine-neutral (md5 registers, binary-string ranks, integer
+    # harmonic sums). m=16 keeps both labels above the linear-counting
+    # branch at certification scale.
+    for label in ("event_id", "user_id"):
+        est = ts.hll_distinct(e, label, log2m=4)
+        nd = e.agg(F.count_distinct(F.col(label)).cast("long")
+                   .alias("n"))
+        out = out.unionByName(
+            est.crossJoin(nd).select(
+                F.lit("hll").alias("part"),
+                F.lit(None).cast("timestamp").alias("day"),
+                F.lit(label).alias("event_type"), "n",
+                F.round("est", 4).alias("sum_value")))
+    return out
 
 
 _WARC_Q_BASE = "https://corpus.example.org/"

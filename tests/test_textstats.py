@@ -206,3 +206,67 @@ def test_exact_percentiles_nearest_rank(spark):
             ts.exact_percentiles(df2, "v", ps=(50, 70, 80, 90, 100))
             .collect()}
     assert got2 == {50: 1, 70: 1, 80: 10, 90: 10, 100: 100}
+
+
+def _py_hll(values, log2m=4):
+    """Pure-Python replication of the engine's deterministic HLL."""
+    import hashlib
+    import math
+    m = 1 << log2m
+    window = 60 - log2m
+    regs = {}
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        reg = h % m
+        w = h >> log2m
+        rank = (window + 1) - (w.bit_length() if w > 0 else 0)
+        regs[reg] = max(regs.get(reg, 0), rank)
+    s = sum(1 << (62 - mj) for mj in regs.values())
+    zeros = m - len(regs)
+    s += zeros * (1 << 62)
+    alpha = ts._hll_alpha(m)
+    raw = alpha * m * m * float(1 << 62) / float(s)
+    if raw <= 2.5 * m and zeros > 0:
+        return float(m) * math.log(float(m) / zeros)
+    return raw
+
+
+def test_hll_matches_python_and_tracks_truth(spark):
+    vals = [f"item-{i}" for i in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = ts.hll_distinct(df, "v", log2m=4).first()["est"]
+    assert got == _py_hll(vals, log2m=4)
+    assert abs(got - 2000) / 2000 < 0.6   # m=16: coarse but sane
+    # tighter registers track truth tighter; m=2048 > n puts this in
+    # the linear-counting branch, where JVM and Python libm ln differ
+    # in the last ulp (the documented reason oracle folds avoid it)
+    got11 = ts.hll_distinct(df, "v", log2m=11).first()["est"]
+    want11 = _py_hll(vals, log2m=11)
+    assert abs(got11 - want11) / want11 < 1e-12
+    assert abs(got11 - 2000) / 2000 < 0.1
+
+
+def test_hll_small_range_linear_counting(spark):
+    vals = [f"x{i}" for i in range(5)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = ts.hll_distinct(df, "v", log2m=4).first()["est"]
+    want = _py_hll(vals, log2m=4)          # takes the ln branch
+    assert abs(got - want) / want < 1e-12
+    assert 1 <= got <= 15
+
+
+def test_hll_grouped_and_duplicate_insensitive(spark):
+    rows = [("a", f"v{i % 7}") for i in range(100)] + \
+        [("b", f"w{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {r["g"]: r["est"] for r in
+           ts.hll_distinct(df, "v", group_cols=("g",),
+                           log2m=4).collect()}
+    assert got["a"] == _py_hll([f"v{i % 7}" for i in range(100)])
+    assert got["b"] == _py_hll([f"w{i}" for i in range(50)])
+    # duplicates never move the sketch
+    dup = spark.createDataFrame(rows * 3, "g string, v string")
+    got3 = {r["g"]: r["est"] for r in
+            ts.hll_distinct(dup, "v", group_cols=("g",),
+                            log2m=4).collect()}
+    assert got3 == got
