@@ -1030,6 +1030,83 @@ _GOPHER_OK_SQL = """(len(t) >= 50 AND len(t) <= 100000
             'with'])) >= 2)"""
 
 
+def _clf_sql() -> str:
+    """Unrolled-epoch batch perceptron + closed-form centroid CTEs
+    over the gopher counters — the trained-quality-classifier leg of
+    the text_gopher_rules row (operators/classifier.py). Pure integer
+    arithmetic (HUGEINT where the centroid threshold exceeds 64 bits
+    == Spark's DECIMAL(38,0) intermediates), so the SQL reproduces
+    training AND scoring bit-for-bit."""
+    k = 6
+    feats = [
+        "CAST(floor(100 * sum_word_chars / greatest(n_words, 1)) "
+        "AS BIGINT)",
+        "CAST(floor(1000 * n_symbol_words / greatest(n_words, 1)) "
+        "AS BIGINT)",
+        "CAST(floor(1000 * n_alpha_words / greatest(n_words, 1)) "
+        "AS BIGINT)",
+        "CAST(floor(1000 * n_bullet_lines / greatest(n_lines, 1)) "
+        "AS BIGINT)",
+        "stop_hits",
+        "least(n_words, 200)",
+    ]
+    fdefs = ",\n    ".join(f"{e} AS f{j}" for j, e in enumerate(feats))
+
+    def margin(w):
+        return (f"({w}.b + " + " + ".join(
+            f"{w}.w{j} * f{j}" for j in range(k)) + ")")
+
+    epochs = [f"""
+e1 AS (SELECT sum(y)::BIGINT AS b, {", ".join(
+        f"sum(y * f{j})::BIGINT AS w{j}" for j in range(k))}
+  FROM feats)"""]
+    for t in (2, 3):
+        p = f"e{t - 1}"
+        miss = f"y * {margin(p)} <= 0"
+        epochs.append(f""",
+g{t} AS (SELECT
+    sum(CASE WHEN {miss} THEN y ELSE 0 END)::BIGINT AS db,
+    {", ".join(f"sum(CASE WHEN {miss} THEN y * f{j} ELSE 0 END)"
+               f"::BIGINT AS d{j}" for j in range(k))}
+  FROM feats, {p}),
+e{t} AS (SELECT {p}.b + g{t}.db AS b, {", ".join(
+        f"{p}.w{j} + g{t}.d{j} AS w{j}" for j in range(k))}
+  FROM {p}, g{t})""")
+    sums = f""",
+wsum AS (SELECT e1.b + e2.b + e3.b AS b, {", ".join(
+        f"e1.w{j} + e2.w{j} + e3.w{j} AS w{j}" for j in range(k))}
+  FROM e1, e2, e3),
+cen AS (SELECT
+    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS np,
+    sum(CASE WHEN y = 1 THEN 0 ELSE 1 END)::BIGINT AS nn,
+    {", ".join(f"sum(CASE WHEN y = 1 THEN f{j} ELSE 0 END)"
+               f"::BIGINT AS sp{j}" for j in range(k))},
+    {", ".join(f"sum(CASE WHEN y = 1 THEN 0 ELSE f{j} END)"
+               f"::BIGINT AS sn{j}" for j in range(k))}
+  FROM feats),
+cenm AS (SELECT 2::HUGEINT * np * nn AS den,
+    {", ".join(f"(nn * sp{j} - np * sn{j})::BIGINT AS ws{j}"
+               for j in range(k))},
+    ({" + ".join(f"(nn * sp{j} - np * sn{j})::HUGEINT"
+                 f" * (nn * sp{j} + np * sn{j})::HUGEINT"
+                 for j in range(k))}) AS thr
+  FROM cen)"""
+    cdot = " + ".join(f"cenm.ws{j} * f{j}" for j in range(k))
+    final = f""",
+clf AS (SELECT doc_id,
+    {margin('wsum')}::BIGINT AS clf_margin,
+    {margin('wsum')} > 0 AS clf_pred,
+    CASE WHEN cenm.den > 0
+         THEN cenm.den * ({cdot})::HUGEINT > cenm.thr
+         ELSE false END AS cen_pred
+  FROM feats, wsum, cenm)"""
+    return (f""",
+feats AS (SELECT joined.*,
+    {fdefs},
+    CASE WHEN gopher_ok THEN 1 ELSE -1 END AS y
+  FROM joined),{"".join(epochs)[1:]}{sums}{final}""")
+
+
 @_q("text_gopher_rules", f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS_SQL} AS t,
@@ -1064,13 +1141,16 @@ rep AS (
   FROM (SELECT doc_id,
           list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
             AS g
-        FROM toks) WHERE len(g) > 0)
+        FROM toks) WHERE len(g) > 0),
+joined AS (
 SELECT wide.*,
        coalesce(rep.n_ngrams, 0) AS n_ngrams,
        coalesce(rep.n_distinct, 0) AS n_distinct,
        coalesce(rep.dup_ngrams, 0) AS dup_ngrams,
        coalesce(rep.repetitive, false) AS repetitive
-FROM wide LEFT JOIN rep USING (doc_id)
+FROM wide LEFT JOIN rep USING (doc_id)){_clf_sql()}
+SELECT joined.*, clf.clf_margin, clf.clf_pred, clf.cen_pred
+FROM joined JOIN clf USING (doc_id)
 """)
 def _text_gopher_rules(spark, sf_dir):
     """Gopher-style quality gates (Rae et al. 2021 A1.1): word-count /
@@ -1086,14 +1166,33 @@ def _text_gopher_rules(spark, sf_dir):
     Docs with < 2 tokens (outside repetition_stats' filtered domain)
     naturally yield zero counts / not-repetitive — never NULL
     booleans, which hash-mismatch across engines (Spark 'NULL' vs
-    DuckDB 'NaN')."""
+    DuckDB 'NaN').
+
+    Third family (round 5): the TRAINED quality classifier
+    (operators/classifier.py) distilling the gate into a linear model
+    over scale-free ratio features — clf_margin/clf_pred from a
+    3-epoch integer-exact batch perceptron (training unrolled in the
+    oracle's epoch CTEs), cen_pred from the closed-form nearest-
+    centroid model (ONE aggregate; HUGEINT == DECIMAL(38,0)
+    threshold). Training AND scoring are certified end to end."""
+    from ftw_crawler_spark.operators import classifier as clsf
     docs = _t(spark, sf_dir, "documents")
     g = ts._gopher_cols("text")
     r = ts._repetition_cols("text")
-    return docs.select(
+    base = docs.select(
         "doc_id",
         *[c.alias(n) for n, c in g.items()],
         *[c.alias(n) for n, c in r.items()])
+    rf = clsf.ratio_features()
+    names = list(rf)
+    # trainer epochs + scorer + centroid all re-read this relation —
+    # the multi-consumer-relation invariant
+    feat = base.select("*", *[c.alias(n) for n, c in rf.items()]) \
+        .localCheckpoint(eager=False)
+    w = clsf.perceptron_weights(feat, names, "gopher_ok", n_epochs=3)
+    out = clsf.perceptron_score(feat, names, w)
+    out = clsf.centroid_score(out, names, "gopher_ok")
+    return out.drop(*names)
 
 
 @_q("recrawl_schedule", """
