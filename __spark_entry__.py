@@ -1362,7 +1362,28 @@ p AS (
       1000.0 * t::DOUBLE / ((SELECT sum(t) FROM w)::DOUBLE
                             * c::DOUBLE)), 6) * 1000000) AS BIGINT)
       AS p_ppm
-  FROM w)
+  FROM w),
+dbk AS (SELECT doc_id, source, {_MD5L.format('tk')} % 256 AS bk
+        FROM (SELECT doc_id, source, unnest({_TOKS_SQL}) AS tk
+              FROM documents)),
+dct AS (SELECT bk, count(*)::BIGINT AS c FROM dbk
+        WHERE source IN ('src0', 'src1') GROUP BY bk),
+dcs AS (SELECT bk, count(*)::BIGINT AS c FROM dbk GROUP BY bk),
+dtot AS (SELECT (SELECT count(*) FROM dbk
+                 WHERE source IN ('src0', 'src1'))::BIGINT AS nt,
+                (SELECT count(*) FROM dbk)::BIGINT AS ns),
+dpos AS (SELECT pp.doc_id,
+           round(((coalesce(t.c, 0) + 1) * (dtot.ns + 256))::DOUBLE
+                 / ((coalesce(s.c, 0) + 1) * (dtot.nt + 256))::DOUBLE,
+                 9) AS r
+         FROM dbk pp LEFT JOIN dct t USING (bk)
+                     LEFT JOIN dcs s USING (bk), dtot),
+dwt AS (SELECT doc_id,
+          round(sum(r::DECIMAL(28,12))::DOUBLE / count(*), 6) AS dw
+        FROM dpos GROUP BY doc_id),
+dsel AS (SELECT doc_id, dw,
+           row_number() OVER (ORDER BY dw DESC, doc_id ASC) AS rn
+         FROM dwt)
 SELECT 'bernoulli' AS method, doc_id, source, NULL::BIGINT AS p_ppm
 FROM documents
 WHERE {_MD5L.format("'s:' || doc_id")} % 1000000 < 250000
@@ -1377,11 +1398,15 @@ UNION ALL
 SELECT 'mixture' AS method, d.doc_id, d.source, p.p_ppm
 FROM documents d JOIN p USING (source)
 WHERE {_MD5L.format("'m:' || doc_id")} % 1000000 < p.p_ppm
+UNION ALL
+SELECT 'dsir' AS method, d.doc_id, d.source,
+       CAST(floor(s.dw * 1000000) AS BIGINT) AS p_ppm
+FROM dsel s JOIN documents d USING (doc_id) WHERE s.rn <= 60
 """)
 def _sampling_methods(spark, sf_dir):
-    """All three deterministic sampling operators, tagged by method
-    (formerly the sample_deterministic + mixture_sample queries,
-    folded for the roster cap):
+    """All four deterministic sampling/selection operators, tagged by
+    method (formerly the sample_deterministic + mixture_sample
+    queries, folded for the roster cap):
 
     - bernoulli: ~25% corpus sample keyed on a content hash of the
       doc id — reproducible across reruns/partitionings (no rand());
@@ -1391,9 +1416,16 @@ def _sampling_methods(spark, sf_dir):
     - mixture: temperature-weighted (α = 0.5) source balancing — per-
       source keep probability ∝ c^α/c from one tiny aggregate
       (decimal-pinned Σc^α), applied as a deterministic hash filter
-      via a broadcast weights join; p_ppm is its per-source rate."""
+      via a broadcast weights join; p_ppm is its per-source rate;
+    - dsir: DSIR data selection (Xie et al. 2023) — top-60 most
+      target-like docs by hashed-unigram importance ratio against a
+      src0/src1 target corpus (256-bucket broadcast model, add-one
+      smoothing, decimal-mean ratio); p_ppm carries the weight in
+      ppm (floor(w·1e6) on both engines)."""
     from ftw_crawler_spark.operators import sampling
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    full = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    docs = full.select("doc_id", "source")
     nil = F.lit(None).cast("long").alias("p_ppm")
     bern = sampling.hash_sample(docs, "doc_id", rate_ppm=250_000) \
         .select(F.lit("bernoulli").alias("method"), "doc_id", "source",
@@ -1406,7 +1438,14 @@ def _sampling_methods(spark, sf_dir):
                                    target_rows=1000, alpha_quarters=2)
            .select(F.lit("mixture").alias("method"), "doc_id", "source",
                    "p_ppm"))
-    return bern.unionByName(strat).unionByName(mix)
+    target = full.filter(F.col("source").isin("src0", "src1"))
+    sel = sampling.dsir_select(full, target, n=60, n_buckets=256)
+    dsir = (docs.join(F.broadcast(sel.select("doc_id", "dsir_w_r6")),
+                      "doc_id")
+            .select(F.lit("dsir").alias("method"), "doc_id", "source",
+                    F.floor(F.col("dsir_w_r6") * F.lit(1_000_000))
+                    .cast("long").alias("p_ppm")))
+    return bern.unionByName(strat).unionByName(mix).unionByName(dsir)
 
 
 @_q("metadata_dc_precedence", """
@@ -2373,26 +2412,61 @@ cent{it} AS (
     return "".join(parts), prev
 
 
-def _kmeans_sql(n_centroids: int = 4, n_iter: int = 2,
-                dim: int = 64) -> str:
+def _semdedup_sql(n_centroids: int = 4, n_iter: int = 2,
+                  tau: float = 0.3, dim: int = 64) -> str:
+    """Kmeans assignment + SemDeDup decision: the Lloyd CTE
+    generations feed within-cluster pair mining, a recursive-CTE
+    closure groups the duplicates, and the keep window restates the
+    furthest-from-centroid policy."""
     d2 = ("v.n2 - 2 * list_dot_product(v.v, c.c) + c.c2")
     cte, prev = _kmeans_cte(n_centroids, n_iter, dim)
-    return cte + f"""
-SELECT vid AS vec_id, cid, round(sqrt(d2), 6) AS dist_r6 FROM (
-  SELECT v.vid, c.cid, ({d2}) AS d2,
-    row_number() OVER (PARTITION BY v.vid
-                       ORDER BY ({d2}) ASC, c.cid ASC) AS r
-  FROM vecs v, {prev} c) WHERE r = 1"""
+    cte = cte.replace("WITH vecs", "WITH RECURSIVE vecs", 1)
+    return cte + f""",
+fin AS (
+  SELECT vid, cid, v, d2 FROM (
+    SELECT v.vid, c.cid, v.v, ({d2}) AS d2,
+      row_number() OVER (PARTITION BY v.vid
+                         ORDER BY ({d2}) ASC, c.cid ASC) AS r
+    FROM vecs v, {prev} c) WHERE r = 1),
+fn AS (SELECT vid, cid, v, d2, sqrt(list_dot_product(v, v)) AS n
+       FROM fin),
+p0 AS (SELECT x.vid AS a, y.vid AS b
+       FROM fn x JOIN fn y ON x.cid = y.cid AND x.vid < y.vid
+       WHERE round(list_dot_product(x.v, y.v) / (x.n * y.n), 6)
+             >= {tau}),
+edges AS (SELECT a AS src, b AS dst FROM p0
+          UNION SELECT b AS src, a AS dst FROM p0),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+comp AS (SELECT src AS node, least(src, min(dst)) AS component
+         FROM reach GROUP BY src),
+lab AS (SELECT f.vid, f.cid, f.d2,
+               coalesce(c.component, f.vid) AS grp
+        FROM fin f LEFT JOIN comp c ON c.node = f.vid),
+rk AS (SELECT vid, cid, d2, grp,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY d2 DESC, vid ASC) AS r
+       FROM lab)
+SELECT vid AS vec_id, cid, round(sqrt(d2), 6) AS dist_r6, grp,
+       (CASE WHEN r = 1 THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM rk"""
 
 
-@_q("kmeans_refine_assign", _kmeans_sql())
+@_q("kmeans_semdedup", _semdedup_sql())
 def _kmeans(spark, sf_dir):
-    """Iterative algorithm as DataFrame ops: 2 Lloyd iterations of
-    k-means (IVF centroid refinement) — broadcast centroids, argmin-L2
-    assign, decimal-exact component means — bit-reproduced by the
-    oracle's unrolled CTE generations."""
+    """Iterative algorithm as DataFrame ops — 2 Lloyd iterations of
+    k-means (broadcast centroids, argmin-L2 assign, decimal-exact
+    component means; the former kmeans_refine_assign row: the
+    assignment columns (vec_id, cid, dist_r6) are the kmeans_refine
+    relation verbatim) — COMPOSED into SemDeDup (Abbas et al. 2023):
+    within-cluster cosine pairs at round(sim,6) >= 0.3, duplicate
+    groups via connected components, keep = the member furthest from
+    its centroid. The oracle restates the whole pipeline: unrolled
+    Lloyd CTE generations + recursive-CTE closure + keep window."""
     emb = _t(spark, sf_dir, "embeddings")
-    return simi.kmeans_refine(emb, n_centroids=4, n_iter=2)
+    return simi.semdedup(emb, tau=0.3, n_centroids=4, n_iter=2)
 
 
 def _ivf_refined_sql(n_centroids: int = 8, n_iter: int = 2,

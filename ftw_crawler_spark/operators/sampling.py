@@ -110,6 +110,81 @@ def mixture_sample(df: DataFrame, source_col: str, key_col: str,
             .filter(F.pmod(h, F.lit(PPM)) < F.col("p_ppm")))
 
 
+def dsir_weights(docs: DataFrame, target: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 n_buckets: int = 256,
+                 broadcast_model: bool = True) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every document by how target-like its
+    hashed bag-of-words is — the data-selection step that picks
+    pretraining documents resembling a trusted corpus (the paper's
+    hashed-n-gram importance estimator, here over hashed unigrams).
+
+    Model: both corpora collapse to ``n_buckets`` hashed token-bucket
+    counts (one map-side-combined shuffle each) — the model size is
+    FIXED regardless of corpus size, the property that makes DSIR
+    tractable at 100 TB: the serving relations are always
+    broadcastable. Per token position with bucket b, the add-one-
+    smoothed likelihood ratio
+
+        r = ((c_tgt[b]+1) · (N_src+B)) / ((c_src[b]+1) · (N_tgt+B))
+
+    is ONE IEEE division of exactly-representable integers (the
+    products stay far under 2^53) rounded to 9 dp; the document weight
+    is the DECIMAL-summed mean of its positions' ratios, rounded to
+    6 dp — the same division-free cross-engine-exact construction as
+    ``textstats.lm_score`` (arithmetic-mean ratio rather than the
+    paper's log-product: monotone in target-likeness, exact in SQL).
+
+    Returns (id, n_tokens, dsir_w_r6). Docs with no tokens drop out
+    (no positions — same as the oracle's explode). Scale shape: two
+    count shuffles bounded at ``n_buckets`` rows, then the position
+    relation joins the broadcast model + 1-row totals and combines
+    per doc — no corpus-wide shuffle beyond the per-doc agg."""
+    from ftw_crawler_spark.operators.dedup import tokens_col
+    bkt = F.pmod(md5_long(F.col("w")), F.lit(n_buckets)).alias("bk")
+    pos = docs.select(F.col(id_col),
+                      F.explode(tokens_col(text_col)).alias("w")) \
+        .select(id_col, bkt)
+    tpos = target.select(
+        F.explode(tokens_col(text_col)).alias("w")).select(bkt)
+    ct = pos.groupBy("bk").agg(F.count(F.lit(1)).alias("__cs"))
+    tt = tpos.groupBy("bk").agg(F.count(F.lit(1)).alias("__ct"))
+    # ≤ n_buckets rows each, but 3 consumers (totals + the position
+    # join) — checkpoint lazily so each count agg runs once
+    ct = ct.localCheckpoint(eager=False)
+    tt = tt.localCheckpoint(eager=False)
+    tot = (ct.agg(F.sum("__cs").alias("__ns"))
+           .crossJoin(tt.agg(F.sum("__ct").alias("__nt"))))
+    if broadcast_model:
+        ct, tt = F.broadcast(ct), F.broadcast(tt)
+    num = ((F.coalesce(F.col("__ct"), F.lit(0)) + 1)
+           * (F.col("__ns") + n_buckets)).cast("double")
+    den = ((F.coalesce(F.col("__cs"), F.lit(0)) + 1)
+           * (F.col("__nt") + n_buckets)).cast("double")
+    return (pos.join(tt, "bk", "left").join(ct, "bk", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(id_col, F.round(num / den, 9).alias("__r"))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.col("__r").cast("decimal(28,12)"))
+                 .cast("double").alias("__s"))
+            .select(id_col, "n_tokens",
+                    F.round(F.col("__s") / F.col("n_tokens"), 6)
+                    .alias("dsir_w_r6")))
+
+
+def dsir_select(docs: DataFrame, target: DataFrame, n: int,
+                text_col: str = "text", id_col: str = "doc_id",
+                n_buckets: int = 256) -> DataFrame:
+    """Top-``n`` most target-like documents by DSIR importance weight
+    (weight desc, id asc — deterministic). The global top-n compiles
+    to TakeOrderedAndProject (per-partition heads merged on the
+    driver), never a full sort. Returns (id, n_tokens, dsir_w_r6)."""
+    w = dsir_weights(docs, target, text_col, id_col, n_buckets)
+    return w.orderBy(F.desc("dsir_w_r6"), F.asc(id_col)).limit(n)
+
+
 def stratified_sample(df: DataFrame, strata_col: str, key_col: str,
                       n_per_stratum: int, salt: str = "t",
                       use_md5: bool = True,

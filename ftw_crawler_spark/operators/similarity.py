@@ -500,6 +500,77 @@ def embedding_neardup_pairs(corpus: DataFrame, tau: float = 0.25,
             .select("a", "b", F.round("sim", 4).alias("sim_r4")))
 
 
+def semdedup(corpus: DataFrame, tau: float = 0.7,
+             n_centroids: int = 4, n_iter: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             use_hof: bool = True) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering then WITHIN-CLUSTER cosine
+    pruning — the embedding-space analog of MinHash near-dup, catching
+    paraphrases and re-renders that share no n-grams.
+
+    Pipeline (one plan):
+
+    1. deterministic Lloyd's k-means (the shared ``_lloyd`` loop)
+       assigns every vector to a cluster — the clustering exists ONLY
+       to bound comparisons: pairs are mined per cluster, never
+       corpus-wide;
+    2. within each cluster, pairs at ``round(cos, 6) >= tau`` are
+       semantic duplicates (equi-join on ``cid`` — at 10^10 rows the
+       candidate set is intra-cluster O(Σ c_i²); raise ``n_centroids``
+       to shrink clusters, exactly the paper's scaling knob);
+    3. duplicate pairs form groups via ``connected_components`` (the
+       same clusterer every other dedup family feeds);
+    4. keep policy: per group, the member FURTHEST from its centroid
+       survives (tie → lower id) — Abbas et al.'s low-similarity-to-
+       centroid choice, which retains the least prototypical example
+       of each semantic duplicate set and drops the redundant core.
+
+    Returns one row per corpus vector:
+    (vec_id, cid, dist_r6, grp, keep) — ``grp`` the duplicate-group id
+    (min member id; own id when the vector has no duplicate), ``keep``
+    1 for the retained representative else 0. ``keep = 1`` rows are
+    the deduplicated corpus; the kmeans assignment (vec_id, cid,
+    dist_r6) is the ``kmeans_refine`` relation verbatim.
+
+    Determinism: fold-order dot products + decimal centroid means (the
+    ``_lloyd`` contract) make cluster ids, distances, similarities and
+    therefore groups and keep flags bit-identical across engines — the
+    whole operator has an exact SQL oracle (kmeans CTE generations +
+    recursive-CTE closure over the pair relation).
+    """
+    from ftw_crawler_spark.operators.dedup import connected_components
+    _, assign, cents = _lloyd(corpus, n_centroids, n_iter, id_col,
+                              vec_col)
+    # the assignment feeds three consumers (both pair-join sides + the
+    # final projection) — checkpoint so the Lloyd chain runs once (the
+    # multi-consumer-sketch invariant)
+    asg = assign(cents).localCheckpoint(eager=False)
+    withn = asg.withColumn(
+        "__n", F.sqrt(_dot(F.col("v"), F.col("v"), use_hof)))
+    left = withn.select(F.col("vid").alias("a"), "cid",
+                        F.col("v").alias("av"), F.col("__n").alias("an"))
+    right = withn.select(F.col("vid").alias("b"), "cid",
+                         F.col("v").alias("bv"), F.col("__n").alias("bn"))
+    sim = _dot(F.col("av"), F.col("bv"), use_hof) / (F.col("an")
+                                                     * F.col("bn"))
+    pairs = (left.join(right, "cid")
+             .filter(F.col("a") < F.col("b"))
+             .filter(F.round(sim, 6) >= tau)
+             .select("a", "b"))
+    comp = connected_components(pairs)
+    lab = (asg.join(comp, asg["vid"] == comp["node"], "left")
+           .select("vid", "cid", "__d2",
+                   F.coalesce("component", "vid").alias("grp")))
+    w = Window.partitionBy("grp").orderBy(F.desc("__d2"), F.asc("vid"))
+    return (lab.withColumn("__rk", F.row_number().over(w))
+            .select(F.col("vid").alias("vec_id"), "cid",
+                    F.round(F.sqrt("__d2"), 6).alias("dist_r6"),
+                    "grp",
+                    F.when(F.col("__rk") == 1, F.lit(1))
+                    .otherwise(F.lit(0)).cast("long").alias("keep")))
+
+
 def lsh_ann(corpus: DataFrame, query_ids, k: int = 5,
             n_planes: int = DEFAULT_PLANES, id_col: str = "vec_id",
             vec_col: str = "embedding",

@@ -136,3 +136,80 @@ def test_stratified_two_phase_identical_and_salted(spark):
     assert plan.count("Window") >= 2 and "__salt" in plan
     single_plan = single._jdf.queryExecution().executedPlan().toString()
     assert "__salt" not in single_plan
+
+
+def _py_dsir(texts, target_ids, n_buckets=16):
+    """Row-wise DSIR oracle replicating the engine's math: md5-bucket
+    hashing, add-one likelihood ratio as ONE IEEE division,
+    round(…, 9), exact decimal sum, double mean, round(…, 6)."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def bk(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15],
+                   16) % n_buckets
+
+    ct, cs = {}, {}
+    for did, t in texts.items():
+        for w in t.split():
+            b = bk(w)
+            cs[b] = cs.get(b, 0) + 1
+            if did in target_ids:
+                ct[b] = ct.get(b, 0) + 1
+    ns, nt = sum(cs.values()), sum(ct.values())
+    out = {}
+    for did, t in texts.items():
+        toks = t.split()
+        if not toks:
+            continue
+        rs = [((ct.get(bk(w), 0) + 1) * (ns + n_buckets))
+              / ((cs.get(bk(w), 0) + 1) * (nt + n_buckets))
+              for w in toks]
+        total = sum((Decimal(repr(round(r, 9)))
+                     .quantize(Decimal("1e-12"), ROUND_HALF_UP)
+                     for r in rs), Decimal(0))
+        out[did] = (len(toks), round(float(total) / len(toks), 6))
+    return out
+
+
+def test_dsir_weights_match_python_oracle(spark):
+    texts = {0: "alpha beta alpha", 1: "alpha gamma",
+             2: "delta epsilon zeta", 3: "beta beta alpha",
+             4: "   "}  # whitespace-only: no positions, drops out
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    target = df.filter(F.col("doc_id").isin(0, 1))
+    got = {r["doc_id"]: (r["n_tokens"], r["dsir_w_r6"])
+           for r in sampling.dsir_weights(df, target,
+                                          n_buckets=16).collect()}
+    assert got == _py_dsir(texts, {0, 1})
+    assert 4 not in got
+
+
+def test_dsir_target_like_docs_rank_higher(spark):
+    """Docs sharing the target corpus's vocabulary must outscore
+    vocabulary-disjoint docs, and dsir_select must surface them."""
+    rows = [(i, "alpha beta gamma") for i in range(10)]        # target-ish
+    rows += [(i + 10, "omega psi chi") for i in range(30)]     # off-target
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter(F.col("doc_id") < 5)
+    sel = sampling.dsir_select(df, target, n=10, n_buckets=64)
+    picked = {r["doc_id"] for r in sel.collect()}
+    assert picked == set(range(10))
+    w = {r["doc_id"]: r["dsir_w_r6"]
+         for r in sampling.dsir_weights(df, target,
+                                        n_buckets=64).collect()}
+    assert min(w[i] for i in range(10)) > max(w[i + 10]
+                                              for i in range(30))
+
+
+def test_dsir_partition_invariance(spark):
+    rows = [(i, f"tok{i % 7} tok{(i * 3) % 11} tok{i % 5}")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter(F.col("doc_id") % 4 == 0)
+    a = sorted(map(tuple, sampling.dsir_weights(
+        df.repartition(13), target.repartition(7)).collect()))
+    b = sorted(map(tuple, sampling.dsir_weights(
+        df.coalesce(1), target.coalesce(1)).collect()))
+    assert a == b and len(a) == 60

@@ -51,11 +51,27 @@ def test_extraction_is_one_arrow_stage(spark, entry_mod):
 
 def test_zero_exchange_projections(spark, entry_mod):
     """Per-row gate projections must stay shuffle-free: their only
-    wide op is a map-side-combinable aggregate at most."""
+    wide op is a map-side-combinable aggregate at most. The
+    text_gopher_rules ROW trains the linear classifier since round 5,
+    so its plan legitimately holds 1-row model aggregates
+    (SinglePartition exchanges of map-side partials) — but never a
+    row-wise repartitioning or a sort-merge join; the pure GATE
+    operator itself stays zero-exchange."""
     qs = entry_mod.queries()
-    for name in ("text_gopher_rules", "curation_pii_scan"):
-        plan = _plan(qs[name](spark, SF_DIR))
-        assert "Exchange" not in plan, f"{name} gained a shuffle:\n{plan}"
+    plan = _plan(qs["curation_pii_scan"](spark, SF_DIR))
+    assert "Exchange" not in plan, f"pii_scan gained a shuffle:\n{plan}"
+
+    from ftw_crawler_spark.operators import textstats as ts
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    gate = _plan(ts.gopher_rules(docs))
+    assert "Exchange" not in gate, f"gopher gate gained a shuffle:\n{gate}"
+
+    row = _plan(qs["text_gopher_rules"](spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in row, \
+        f"gopher row shuffles rows (model aggs must be " \
+        f"SinglePartition-only):\n{row}"
+    assert "SortMergeJoin" not in row, \
+        f"gopher row demoted a model join to sort-merge:\n{row}"
 
 
 def test_small_dims_broadcast(spark, entry_mod):
