@@ -1547,7 +1547,16 @@ lm AS (
        UNION ALL
        SELECT p FROM bgp g WHERE g.doc_id = t.doc_id))::DOUBLE
     / len(t.t), 6) AS lm_score_r6
-  FROM toks t)
+  FROM toks t),
+spv AS (SELECT doc_id, lm_score_r6,
+               CAST(floor(lm_score_r6 * 1000000) AS BIGINT) AS sp
+        FROM lm),
+cuts AS (
+  SELECT min(CASE WHEN cum3 >= total THEN sp END) AS t1,
+         min(CASE WHEN cum3 >= 2 * total THEN sp END) AS t2
+  FROM (SELECT sp, 3 * sum(c) OVER (ORDER BY sp) AS cum3,
+               sum(c) OVER () AS total
+        FROM (SELECT sp, count(*)::BIGINT AS c FROM spv GROUP BY sp)))
 SELECT doc_id,
   CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
        WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
@@ -1563,8 +1572,11 @@ SELECT doc_id,
    AND list_sum(list_transform(t, x -> length(x))) >= 3 * len(t)
    AND list_sum(list_transform(t, x -> length(x))) <= 12 * len(t))
     AS quality_ok,
-  lm.lm_score_r6
-FROM hits JOIN lm USING (doc_id)
+  spv.lm_score_r6,
+  CASE WHEN spv.sp <= cuts.t1 THEN 'tail'
+       WHEN spv.sp <= cuts.t2 THEN 'middle'
+       ELSE 'head' END AS ppl_bucket
+FROM hits JOIN spv USING (doc_id), cuts
 """
 
 
@@ -1648,10 +1660,13 @@ def _lang_quality(spark, sf_dir):
     stupid-backoff LM quality score (textstats.lm_score, the
     CCNet-style signal: corpus-trained bigram model, mean token
     conditional probability, 9-dp-rounded DECIMAL-summed positions so
-    the double math is cross-engine exact)."""
+    the double math is cross-engine exact) — then CCNet's
+    head/middle/tail quality buckets (textstats.ppl_buckets: exact
+    nearest-rank terciles of the score by distribution counting over
+    its domain-bounded ppm-integer view)."""
     docs = _t(spark, sf_dir, "documents")
     lm = ts.lm_score(docs).select("doc_id", "lm_score_r6")
-    return ts.lang_quality(docs).join(lm, "doc_id")
+    return ts.ppl_buckets(ts.lang_quality(docs).join(lm, "doc_id"))
 
 
 @_q("curation_pipeline", f"""

@@ -302,6 +302,51 @@ def exact_percentiles(df: DataFrame, value_col: str,
             .select(F.col("p").cast("long").alias("p"), "value"))
 
 
+def ppl_buckets(scored: DataFrame, score_col: str = "lm_score_r6",
+                bucket_col: str = "ppl_bucket") -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020 §4.3: split
+    the corpus into head/middle/tail TERCILES by LM score; CCNet cuts
+    on perplexity where lower is better — here the mean-probability
+    score is higher-better, so head = the top tercile).
+
+    Cut-points are EXACT nearest-rank terciles by distribution
+    counting over the ppm-integer view of the score: ``lm_score_r6``
+    is a [0,1] value rounded to 6 dp, so ``floor(score·1e6)`` has AT
+    MOST 1e6+1 distinct values regardless of corpus size — the
+    distinct-value relation the running sum scans is domain-bounded,
+    never corpus-sized (the same argument as ``exact_percentiles``,
+    here guaranteed by the score's own codomain). Tercile k's cut is
+    the smallest value with ``3·cum ≥ k·total`` (integer cross-mult,
+    no float) — bit-reproducible in SQL. Rows at a cut land in the
+    lower bucket (ties share a bucket by value, never split).
+
+    Appends ``bucket_col`` ('head' | 'middle' | 'tail'); every input
+    column passes through. Plan: the input is checkpointed once (it
+    feeds the distribution AND the final projection), the cut
+    relation is 1 row broadcast back."""
+    sp = F.floor(F.col(score_col) * F.lit(1_000_000)).cast("long")
+    base = scored.withColumn("__sp", sp).localCheckpoint(eager=False)
+    counts = base.groupBy("__sp").agg(F.count(F.lit(1)).alias("__c"))
+    w = (Window.orderBy("__sp")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (counts.withColumn("__cum", F.sum("__c").over(w))
+           .withColumn("__total",
+                       F.sum("__c").over(Window.partitionBy())))
+    cuts = (cum.agg(
+        F.min(F.when(F.col("__cum") * 3 >= F.col("__total"),
+                     F.col("__sp"))).alias("__t1"),
+        F.min(F.when(F.col("__cum") * 3 >= 2 * F.col("__total"),
+                     F.col("__sp"))).alias("__t2")))
+    return (base.crossJoin(F.broadcast(cuts))
+            .withColumn(bucket_col,
+                        F.when(F.col("__sp") <= F.col("__t1"),
+                               F.lit("tail"))
+                        .when(F.col("__sp") <= F.col("__t2"),
+                              F.lit("middle"))
+                        .otherwise(F.lit("head")))
+            .drop("__sp", "__t1", "__t2"))
+
+
 def pack_token_shards(docs: DataFrame, budget_tokens: int,
                       n_groups: int = 64, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:

@@ -304,3 +304,52 @@ def test_cm_sketch_estimates_match_python(spark):
     assert got["hot"] == 120   # width 64 >> 10 distinct: no collision
     # the sketch is bounded: never more rows than depth*width
     assert sk.count() <= 4 * 64
+
+
+def test_ppl_buckets_exact_terciles(spark):
+    """CCNet head/middle/tail terciles: exact nearest-rank cuts
+    (3·cum ≥ k·total over the ppm-integer view), ties share a
+    bucket, every input row passes through with its columns."""
+    # 9 docs with distinct scores 0.1..0.9 → 3/3/3 split
+    rows = [(i, round(0.1 * (i + 1), 6)) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, lm_score_r6 double")
+    got = {r["doc_id"]: r["ppl_bucket"]
+           for r in ts.ppl_buckets(df).collect()}
+    assert got == {0: "tail", 1: "tail", 2: "tail",
+                   3: "middle", 4: "middle", 5: "middle",
+                   6: "head", 7: "head", 8: "head"}
+    # ties at a cut land together in the lower bucket
+    rows = [(0, 0.2), (1, 0.2), (2, 0.2), (3, 0.2), (4, 0.9)]
+    df = spark.createDataFrame(rows, "doc_id long, lm_score_r6 double")
+    got = {r["doc_id"]: r["ppl_bucket"]
+           for r in ts.ppl_buckets(df).collect()}
+    # 0.2's cum covers both cuts → all four are 'tail'; 0.9 is head
+    assert got == {0: "tail", 1: "tail", 2: "tail", 3: "tail",
+                   4: "head"}
+
+
+def test_ppl_buckets_partition_invariant_and_composes(spark):
+    """Same buckets under any partitioning, and composition over
+    lm_score keeps one row per doc with all columns."""
+    docs = spark.createDataFrame(
+        [(i, f"the tok{i % 5} sat on the mat tok{i % 3}")
+         for i in range(30)], "doc_id long, text string")
+    scored = ts.lm_score(docs).select("doc_id", "n_tokens",
+                                      "lm_score_r6")
+    a = sorted(map(tuple, ts.ppl_buckets(scored).collect()))
+    b = sorted(map(tuple, ts.ppl_buckets(
+        scored.repartition(7)).collect()))
+    assert a == b and len(a) == 30
+    assert {r[-1] for r in a} <= {"head", "middle", "tail"}
+    # buckets are ordered by score: every tail score <= every middle
+    # score <= every head score (ties share a bucket, so sizes may
+    # skew — the ORDER is the invariant)
+    by = {}
+    for r in a:
+        by.setdefault(r[-1], []).append(r[2])
+    assert by["tail"]
+    if "middle" in by:
+        assert max(by["tail"]) <= min(by["middle"])
+    if "head" in by:
+        lower = by["tail"] + by.get("middle", [])
+        assert max(lower) <= min(by["head"])
