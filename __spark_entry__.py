@@ -2469,7 +2469,7 @@ SELECT vid AS vec_id, cid, round(sqrt(d2), 6) AS dist_r6, grp,
 FROM rk"""
 
 
-@_q("kmeans_semdedup", _semdedup_sql())
+@_q("kmeans_semdedup", _semdedup_sql(n_centroids=16))
 def _kmeans(spark, sf_dir):
     """Iterative algorithm as DataFrame ops — 2 Lloyd iterations of
     k-means (broadcast centroids, argmin-L2 assign, decimal-exact
@@ -2479,9 +2479,12 @@ def _kmeans(spark, sf_dir):
     within-cluster cosine pairs at round(sim,6) >= 0.3, duplicate
     groups via connected components, keep = the member furthest from
     its centroid. The oracle restates the whole pipeline: unrolled
-    Lloyd CTE generations + recursive-CTE closure + keep window."""
+    Lloyd CTE generations + recursive-CTE closure + keep window.
+    16 centroids ≈ the paper's many-small-clusters regime: the
+    intra-cluster candidate set (the operator's quadratic term) stays
+    ~n²/K — measured 13.6 s → 5.6 s at sf0.1 going 4 → 16."""
     emb = _t(spark, sf_dir, "embeddings")
-    return simi.semdedup(emb, tau=0.3, n_centroids=4, n_iter=2)
+    return simi.semdedup(emb, tau=0.3, n_centroids=16, n_iter=2)
 
 
 def _ivf_refined_sql(n_centroids: int = 8, n_iter: int = 2,
